@@ -1,0 +1,132 @@
+"""Read batching + query execution + exact-format output writing.
+
+The host pipeline around the device engines, replacing the reference's
+single-threaded per-read loop (src/CLI/sbwt_search.cpp:46-105) with
+padded lockstep batches.  Output bytes are exactly print_vector's format
+(sbwt_search.cpp:21-43): each rank followed by a space, newline per read.
+"""
+from __future__ import annotations
+
+import gzip
+import time
+
+import numpy as np
+
+from ..utils.dna import encode_query
+from ..utils.logging import write_log
+
+# Shape bucketing limits recompilation: batch dims are padded up to these.
+_LEN_QUANTUM = 32
+_BATCH_SIZES = [256, 1024, 4096, 16384, 65536]
+
+
+def _pad_batch_size(n: int) -> int:
+    for b in _BATCH_SIZES:
+        if n <= b:
+            return b
+    return -(-n // _BATCH_SIZES[-1]) * _BATCH_SIZES[-1]
+
+
+def encode_reads(reads: list[bytes], pad_len: int | None = None):
+    """Encode raw byte reads into a padded [B, L] int8 batch (+lengths)."""
+    B = _pad_batch_size(len(reads))
+    maxlen = max((len(r) for r in reads), default=0)
+    L = pad_len or max(-(-maxlen // _LEN_QUANTUM) * _LEN_QUANTUM, _LEN_QUANTUM)
+    codes = np.full((B, L), -1, dtype=np.int8)
+    lengths = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_query(r)
+        lengths[i] = len(r)
+    return codes, lengths
+
+
+def format_answers(ans_rows: list[np.ndarray]) -> bytes:
+    """print_vector-compatible formatting: 'r1 r2 ... rn \\n' per read."""
+    out = bytearray()
+    for row in ans_rows:
+        if len(row):
+            out += " ".join(map(str, row.tolist())).encode()
+            out += b" \n"
+        else:
+            out += b"\n"
+    return bytes(out)
+
+
+def run_queries_on_reads(sbwt, reads: list[bytes]):
+    """Query all k-mers of the reads; returns (rows, n_queries, engine_seconds)."""
+    k = sbwt.k
+    rows: list[np.ndarray] = []
+    n_queries = 0
+    engine_s = 0.0
+    streaming = sbwt.has_streaming_query_support()
+
+    # Group reads into length buckets to keep padding waste low while
+    # reusing compiled shapes.
+    order = np.argsort([len(r) for r in reads], kind="stable")
+    grouped: dict[int, list[int]] = {}
+    for i in order:
+        L = max(-(-max(len(reads[i]), 1) // _LEN_QUANTUM) * _LEN_QUANTUM, _LEN_QUANTUM)
+        grouped.setdefault(L, []).append(int(i))
+
+    results: dict[int, np.ndarray] = {}
+    for L, idxs in grouped.items():
+        for s in range(0, len(idxs), _BATCH_SIZES[-1]):
+            chunk = idxs[s : s + _BATCH_SIZES[-1]]
+            batch = [reads[i] for i in chunk]
+            codes, lengths = encode_reads(batch, pad_len=L)
+            t0 = time.perf_counter()
+            if L < k:
+                ans = np.empty((len(codes), 0), dtype=np.int32)
+            elif streaming:
+                ans = sbwt.streaming_search_batch(codes, lengths)
+            else:
+                ans = _per_kmer_batch(sbwt, codes, lengths)
+            engine_s += time.perf_counter() - t0
+            for j, i in enumerate(chunk):
+                n_out = max(0, len(reads[i]) - k + 1)
+                results[i] = np.asarray(ans[j, :n_out])
+                n_queries += n_out
+
+    rows = [results[i] for i in range(len(reads))]
+    return rows, n_queries, engine_s
+
+
+def _per_kmer_batch(sbwt, codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Non-streaming fallback: full search at every position
+    (sbwt_search.cpp:68-91 semantics)."""
+    B, L = codes.shape
+    k = sbwt.k
+    P = L - k + 1
+    # windows as a strided view -> [B*P, k] full searches
+    wins = np.lib.stride_tricks.sliding_window_view(codes, k, axis=1)  # [B, P, k]
+    flat = wins.reshape(B * P, k)
+    ans = sbwt.search_batch(flat).reshape(B, P)
+    pos_ok = np.arange(P)[None, :] <= (lengths[:, None] - k)
+    return np.where(pos_ok, ans, -1)
+
+
+def run_query_files(sbwt, in_files: list[str], out_files: list[str], gzip_output: bool):
+    """Full `sbwt search` equivalent over file lists (sbwt_search.cpp:109-141)."""
+    from .seqio import read_sequences
+
+    total_queries = 0
+    for src, dst in zip(in_files, out_files):
+        reads = read_sequences(src)
+        write_log(
+            f"Running {'streaming' if sbwt.has_streaming_query_support() else 'non-streaming'}"
+            f" queries from input file {src} to output file {dst}"
+        )
+        rows, n_queries, engine_s = run_queries_on_reads(sbwt, reads)
+        total_queries += n_queries
+        payload = format_answers(rows)
+        if gzip_output:
+            with gzip.open(dst, "wb") as f:
+                f.write(payload)
+        else:
+            with open(dst, "wb") as f:
+                f.write(payload)
+        if n_queries:
+            write_log(
+                f"us/query: {engine_s * 1e6 / n_queries} (excluding I/O etc)"
+            )
+    return total_queries

@@ -1,0 +1,112 @@
+"""FASTA/FASTQ sequence I/O (plain or gzipped).
+
+Host-side equivalent of the SeqIO submodule used by the reference
+(format sniffing by extension as in seq_io::figure_out_file_format, used
+at src/CLI/sbwt_build.cpp:107; readers/writers as used at
+src/CLI/sbwt_search.cpp:46-65 and tests/test_CLI.hh:27-34).  Multi-line
+FASTA is supported; multi-line FASTQ is not (same restriction as the
+reference).  Parsing is bulk/vectorized: the whole stream is split once
+instead of a per-character scanner loop.
+"""
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.dna import reverse_complement_bytes
+
+FASTA_EXTS = {".fna", ".fa", ".fasta", ".ffn", ".faa", ".frn"}
+FASTQ_EXTS = {".fq", ".fastq"}
+
+
+@dataclass
+class FileFormat:
+    format: str  # "fasta" | "fastq"
+    gzipped: bool
+    extension: str
+
+
+def figure_out_file_format(path: str) -> FileFormat:
+    p = path
+    gz = False
+    if p.endswith(".gz"):
+        gz = True
+        p = p[: -len(".gz")]
+    for ext in FASTA_EXTS:
+        if p.endswith(ext):
+            return FileFormat("fasta", gz, ext + (".gz" if gz else ""))
+    for ext in FASTQ_EXTS:
+        if p.endswith(ext):
+            return FileFormat("fastq", gz, ext + (".gz" if gz else ""))
+    raise ValueError(f"cannot determine sequence file format of {path!r}")
+
+
+def _open_bytes(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def read_sequences(path: str) -> list[bytes]:
+    """Read all sequences of a FASTA/FASTQ(.gz) file as raw byte strings."""
+    fmt = figure_out_file_format(path)
+    data = _open_bytes(path)
+    if fmt.format == "fasta":
+        seqs = []
+        for block in data.split(b">")[1:]:
+            nl = block.find(b"\n")
+            if nl < 0:
+                continue
+            seqs.append(block[nl + 1 :].replace(b"\n", b"").replace(b"\r", b""))
+        return seqs
+    lines = data.split(b"\n")
+    return [lines[i].rstrip(b"\r") for i in range(1, len(lines), 4) if lines[i]]
+
+
+class SequenceWriter:
+    """Sequence writer mirroring seq_io::Writer::write_sequence."""
+
+    def __init__(self, path: str, fmt: str | None = None):
+        self.fmt = fmt or figure_out_file_format(path).format
+        self.f = gzip.open(path, "wb") if path.endswith(".gz") else open(path, "wb")
+
+    def write_sequence(self, seq: bytes | str):
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        if self.fmt == "fasta":
+            self.f.write(b">\n" + seq + b"\n")
+        else:
+            self.f.write(b"@\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def create_reverse_complement_files(in_paths: list[str], out_paths: list[str]):
+    """Write reverse-complemented copies of sequence files
+    (seq_io::create_reverse_complement_files, used at sbwt_build.cpp:115-122)."""
+    for src, dst in zip(in_paths, out_paths):
+        fmt = figure_out_file_format(src)
+        with SequenceWriter(dst, fmt.format) as w:
+            for seq in read_sequences(src):
+                w.write_sequence(reverse_complement_bytes(seq))
+
+
+def read_batches(
+    paths: list[str], max_batch_reads: int = 1 << 16
+):
+    """Yield (reads, path_index) groups of raw byte reads per input file."""
+    for pi, path in enumerate(paths):
+        reads = read_sequences(path)
+        for i in range(0, len(reads), max_batch_reads):
+            yield reads[i : i + max_batch_reads], pi

@@ -1,0 +1,143 @@
+"""Plain-matrix SBWT index as a JAX pytree of device arrays.
+
+TPU-native re-design of the reference `SBWT<SubsetMatrixRank<...>>`
+(include/sbwt/SBWT.hh:31-332, include/sbwt/SubsetMatrixRank.hh): the four
+indicator bit vectors live as one flat interleaved (bits, cum-popcount)
+table so that every rank query is a single contiguous 8-byte gather, and
+the streaming-support bit vector is stored with each word's predecessor
+word so the suffix-group left-walk (SBWT.hh:563) needs one gather.
+
+All query engines operate on this pytree (see ops/search.py); the class is
+jit-traversable (arrays are leaves, scalars are static metadata).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import bitvector as bv
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rank_tbl", "sgs_tbl", "C", "precalc"],
+    meta_fields=["n_nodes", "n_kmers", "k", "precalc_k", "n_words", "has_streaming"],
+)
+@dataclass(frozen=True)
+class MatrixIndex:
+    """Device representation of the plain-matrix SBWT."""
+
+    rank_tbl: jax.Array  # int32 [4 * n_words, 2]: (bits word, exclusive cum popcount)
+    sgs_tbl: jax.Array  # int32 [n_words, 2]: (sgs word w, sgs word w-1); empty -> [1,2] zeros
+    C: jax.Array  # int32 [4] cumulative char counts, C[0] = 1
+    precalc: jax.Array  # int32 [max(1, 4^p), 2] intervals of all p-length strings
+    n_nodes: int
+    n_kmers: int
+    k: int
+    precalc_k: int
+    n_words: int
+    has_streaming: bool
+
+
+def build_device_index(built, precalc_k: int = 0) -> MatrixIndex:
+    """Upload a host BuiltSBWT (construct/inmemory.py) to device arrays."""
+    return from_host_arrays(
+        bits=built.bits,
+        suffix_group_starts=built.suffix_group_starts,
+        k=built.k,
+        n_kmers=built.n_kmers,
+        precalc_k=precalc_k,
+    )
+
+
+def from_host_arrays(
+    bits: np.ndarray,
+    suffix_group_starts: np.ndarray,
+    k: int,
+    n_kmers: int,
+    precalc_k: int = 0,
+    precalc_table: np.ndarray | None = None,
+) -> MatrixIndex:
+    n = bits.shape[1]
+    if n >= 2**31:
+        raise ValueError("index too large for int32 engine (>= 2^31 columns)")
+    tbls = [bv.rank_table_host(bits[c]) for c in range(4)]
+    W = tbls[0].shape[0]
+    rank_tbl = np.concatenate(tbls, axis=0)  # [4W, 2]
+
+    has_streaming = suffix_group_starts is not None and len(suffix_group_starts) > 0
+    if has_streaming:
+        s_tbl = bv.rank_table_host(suffix_group_starts)
+        sgs_words = s_tbl[:, 0]
+        sgs_tbl = np.empty((W, 2), dtype=np.int32)
+        sgs_tbl[:, 0] = sgs_words
+        sgs_tbl[0, 1] = 0
+        sgs_tbl[1:, 1] = sgs_words[:-1]
+    else:
+        sgs_tbl = np.zeros((1, 2), dtype=np.int32)
+
+    counts = bits.sum(axis=1, dtype=np.int64)
+    C = np.empty(4, dtype=np.int32)
+    C[0] = 1
+    C[1] = C[0] + counts[0]
+    C[2] = C[1] + counts[1]
+    C[3] = C[2] + counts[2]
+
+    index = MatrixIndex(
+        rank_tbl=jnp.asarray(rank_tbl),
+        sgs_tbl=jnp.asarray(sgs_tbl),
+        C=jnp.asarray(C),
+        precalc=jnp.zeros((1, 2), dtype=jnp.int32),
+        n_nodes=n,
+        n_kmers=int(n_kmers),
+        k=int(k),
+        precalc_k=0,
+        n_words=W,
+        has_streaming=bool(has_streaming),
+    )
+    if precalc_table is not None:
+        index = dataclasses.replace(
+            index, precalc=jnp.asarray(precalc_table, dtype=jnp.int32), precalc_k=precalc_k
+        )
+    elif precalc_k > 0:
+        index = with_precalc(index, precalc_k)
+    return index
+
+
+def with_precalc(index: MatrixIndex, precalc_k: int) -> MatrixIndex:
+    """Precompute SBWT intervals of all 4^p strings (SBWT.hh:617-645).
+
+    The table is indexed by packing characters colex-reversed:
+    idx = sum_i code[i] << (2*i) (SBWT.hh:396-401).
+    """
+    from ..ops.search import update_interval_batch
+
+    p = int(precalc_k)
+    if p == 0:
+        return dataclasses.replace(
+            index, precalc=jnp.zeros((1, 2), dtype=jnp.int32), precalc_k=0
+        )
+    if p > 12:
+        raise ValueError("precalc_k > 12 not supported (table would exceed 128 MiB)")
+    if p > index.k:
+        raise ValueError(f"precalc_k {p} > k {index.k}")
+    base = dataclasses.replace(
+        index, precalc=jnp.zeros((1, 2), dtype=jnp.int32), precalc_k=0
+    )
+    n_entries = 4**p
+    ids = np.arange(n_entries, dtype=np.int64)
+    codes = np.empty((n_entries, p), dtype=np.int32)
+    for i in range(p):
+        codes[:, i] = (ids >> (2 * i)) & 3
+    l0 = jnp.zeros(n_entries, dtype=jnp.int32)
+    r0 = jnp.full(n_entries, index.n_nodes - 1, dtype=jnp.int32)
+    l, r, alive = jax.jit(update_interval_batch)(base, jnp.asarray(codes), l0, r0)
+    tbl = jnp.stack(
+        [jnp.where(alive, l, -1), jnp.where(alive, r, -1)], axis=1
+    ).astype(jnp.int32)
+    return dataclasses.replace(index, precalc=tbl, precalc_k=p)

@@ -1,0 +1,340 @@
+"""High-level SBWT API: the user-facing index object.
+
+Mirrors the public surface of the reference `SBWT<subset_rank_t>` class
+(include/sbwt/SBWT.hh:31-332) — search, streaming_search, partial_search,
+forward, serialize/load, reconstruct_all_kmers, get_kmer, ascii export —
+while the heavy lifting runs as batched jit-compiled engines over the
+device-resident index (ops/search.py).
+
+Host-side features that the reference implements with per-column scalar
+loops (reconstruction, k-mer extraction, ascii export) are vectorized
+numpy here; they are tooling paths, not the query hot path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..construct.inmemory import BuiltSBWT, build_sbwt
+from ..ops import search as engines
+from ..utils.dna import CODE_TO_CHAR, encode_query
+from .matrix import MatrixIndex, build_device_index, from_host_arrays, with_precalc
+
+VARIANT_NAMES = [
+    "plain-matrix",
+    "rrr-matrix",
+    "mef-matrix",
+    "plain-split",
+    "rrr-split",
+    "mef-split",
+    "plain-concat",
+    "mef-concat",
+    "plain-subsetwt",
+    "rrr-subsetwt",
+]
+
+
+@partial(jax.jit, static_argnames=())
+def _jit_search(index, codes):
+    return engines.search_batch(index, codes)
+
+
+@partial(jax.jit, static_argnames=())
+def _jit_streaming(index, codes, lengths):
+    return engines.streaming_search(index, codes, lengths)
+
+
+@partial(jax.jit, static_argnames=())
+def _jit_partial(index, codes, lengths):
+    return engines.partial_search_batch(index, codes, lengths)
+
+
+class SBWT:
+    """Plain-matrix SBWT with batched TPU query engines.
+
+    `variant` records which space/time layout the index uses for
+    serialization compatibility; all variants answer identical queries.
+    """
+
+    def __init__(
+        self,
+        bits: np.ndarray,
+        suffix_group_starts: np.ndarray | None,
+        k: int,
+        n_kmers: int,
+        precalc_k: int = 0,
+        variant: str = "plain-matrix",
+        precalc_table: np.ndarray | None = None,
+    ):
+        self.bits = np.asarray(bits, dtype=bool)
+        self.suffix_group_starts = (
+            np.asarray(suffix_group_starts, dtype=bool)
+            if suffix_group_starts is not None
+            else np.empty(0, dtype=bool)
+        )
+        self.variant = variant
+        self.device_index: MatrixIndex = from_host_arrays(
+            self.bits,
+            self.suffix_group_starts,
+            k=k,
+            n_kmers=n_kmers,
+            precalc_k=precalc_k,
+            precalc_table=precalc_table,
+        )
+
+    # ---- constructors -------------------------------------------------
+    @classmethod
+    def from_built(cls, built: BuiltSBWT, precalc_k: int = 0, variant: str = "plain-matrix"):
+        return cls(
+            built.bits,
+            built.suffix_group_starts,
+            built.k,
+            built.n_kmers,
+            precalc_k,
+            variant,
+        )
+
+    @classmethod
+    def build(
+        cls,
+        seqs,
+        k: int,
+        streaming_support: bool = True,
+        precalc_k: int = 0,
+        min_abundance: int = 1,
+        max_abundance: int | None = None,
+        add_reverse_complements: bool = False,
+        variant: str = "plain-matrix",
+    ):
+        built = build_sbwt(
+            seqs,
+            k,
+            streaming_support=streaming_support,
+            min_abundance=min_abundance,
+            max_abundance=max_abundance,
+            add_reverse_complements=add_reverse_complements,
+        )
+        return cls.from_built(built, precalc_k, variant)
+
+    # ---- metadata (SBWT.hh accessors) --------------------------------
+    @property
+    def k(self) -> int:
+        return self.device_index.k
+
+    def number_of_subsets(self) -> int:
+        return self.device_index.n_nodes
+
+    def number_of_kmers(self) -> int:
+        return self.device_index.n_kmers
+
+    def get_precalc_k(self) -> int:
+        return self.device_index.precalc_k
+
+    @property
+    def C(self) -> np.ndarray:
+        return np.asarray(self.device_index.C, dtype=np.int64)
+
+    def has_streaming_query_support(self) -> bool:
+        return self.device_index.has_streaming
+
+    def do_kmer_prefix_precalc(self, p: int) -> None:
+        self.device_index = with_precalc(self.device_index, p)
+
+    # ---- queries ------------------------------------------------------
+    def search_batch(self, codes: np.ndarray) -> np.ndarray:
+        """Batched k-mer search; codes int [B, k] from encode_query."""
+        return np.asarray(_jit_search(self.device_index, jnp.asarray(codes)))
+
+    def search(self, kmer: str) -> int:
+        """Single k-mer search (SBWT.hh:390-415). Longer inputs use the first k chars."""
+        codes = encode_query(kmer[: self.k])
+        if len(codes) != self.k:
+            raise ValueError(f"query shorter than k={self.k}")
+        return int(self.search_batch(codes[None, :])[0])
+
+    def streaming_search_batch(
+        self, codes: np.ndarray, lengths: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Batched streaming search; codes int [B, L] padded with -1."""
+        if not self.has_streaming_query_support():
+            raise RuntimeError("streaming search support not built")
+        B, L = codes.shape
+        if lengths is None:
+            lengths = np.full(B, L, dtype=np.int32)
+        return np.asarray(
+            _jit_streaming(
+                self.device_index, jnp.asarray(codes), jnp.asarray(lengths, dtype=jnp.int32)
+            )
+        )
+
+    def streaming_search(self, text: str) -> list[int]:
+        """All k-mer answers of one input string (SBWT.hh:545-581)."""
+        if len(text) < self.k:
+            return []
+        codes = encode_query(text)
+        ans = self.streaming_search_batch(codes[None, :])
+        return [int(x) for x in ans[0]]
+
+    def partial_search(self, text: str) -> tuple[tuple[int, int], int]:
+        """Longest matching prefix interval (SBWT.hh:526-537)."""
+        codes = encode_query(text)
+        l, r, mlen = _jit_partial(
+            self.device_index,
+            jnp.asarray(codes[None, :]),
+            jnp.asarray([len(text)], dtype=jnp.int32),
+        )
+        return (int(l[0]), int(r[0])), int(mlen[0])
+
+    def update_sbwt_interval(self, s: str, interval: tuple[int, int]) -> tuple[int, int]:
+        """Run LF iterations from a given interval (SBWT.hh:423-437)."""
+        if interval[0] == -1:
+            return interval
+        codes = encode_query(s)
+        # search semantics: raw char must be uppercase ACGT
+        codes = np.where((codes >= 0) & (codes < 4), codes, -1)
+        l, r, alive = jax.jit(engines.update_interval_batch)(
+            self.device_index,
+            jnp.asarray(codes[None, :]),
+            jnp.asarray([interval[0]], dtype=jnp.int32),
+            jnp.asarray([interval[1]], dtype=jnp.int32),
+        )
+        if not bool(alive[0]):
+            return (-1, -1)
+        return (int(l[0]), int(r[0]))
+
+    def forward(self, node: int, c: str) -> int:
+        """Follow a labeled edge in the de Bruijn graph (SBWT.hh:369-381)."""
+        if not self.has_streaming_query_support():
+            raise RuntimeError("streaming support required for forward")
+        code = int(encode_query(c)[0])
+        if code < 0 or code >= 4:
+            return -1
+        res = jax.jit(engines.forward_batch)(
+            self.device_index,
+            jnp.asarray([node], dtype=jnp.int32),
+            jnp.asarray([code], dtype=jnp.int32),
+        )
+        return int(res[0])
+
+    # ---- host-side tooling -------------------------------------------
+    def compute_dummy_node_marks(self) -> np.ndarray:
+        """Mark nodes that are not full k-mers, by BFS over the dummy tree
+        (SBWT.hh:589-614), level-synchronous and batched."""
+        marks = np.zeros(self.number_of_subsets(), dtype=bool)
+        frontier = np.array([0], dtype=np.int32)
+        fwd = jax.jit(engines.forward_batch)
+        for depth in range(self.k):
+            marks[frontier] = True
+            if depth == self.k - 1:
+                break
+            nxt = []
+            for c in range(4):
+                res = np.asarray(
+                    fwd(
+                        self.device_index,
+                        jnp.asarray(frontier),
+                        jnp.full(len(frontier), c, dtype=jnp.int32),
+                    )
+                )
+                nxt.append(res[res >= 0])
+            frontier = np.concatenate(nxt).astype(np.int32)
+            if len(frontier) == 0:
+                break
+        return marks
+
+    def _incoming_labels(self) -> np.ndarray:
+        """last[i] = label of the incoming edge of column i (-1 for '$')."""
+        n = self.number_of_subsets()
+        counts = self.bits.sum(axis=1, dtype=np.int64)
+        C = self.C
+        last = np.full(n, -1, dtype=np.int8)
+        for c in range(4):
+            last[C[c] : C[c] + counts[c]] = c
+        return last
+
+    def reconstruct_all_kmers(self) -> str:
+        """All node labels in colex order, '$'-padded, concatenated
+        (SBWT.hh:648-698), as k rounds of vectorized label propagation."""
+        n = self.number_of_subsets()
+        k = self.k
+        counts = self.bits.sum(axis=1, dtype=np.int64)
+        C = self.C
+        out = np.full((n, k), ord("$"), dtype=np.uint8)
+        last = self._incoming_labels()
+        for rnd in range(k):
+            col = np.where(last >= 0, CODE_TO_CHAR[np.clip(last, 0, 3)], ord("$"))
+            out[:, k - 1 - rnd] = col
+            propagated = np.full(n, -1, dtype=np.int8)
+            for c in range(4):
+                src = np.flatnonzero(self.bits[c])
+                propagated[C[c] : C[c] + len(src)] = last[src]
+            last = propagated
+        return out.tobytes().decode("ascii")
+
+    def get_kmer(self, colex_rank: int) -> str:
+        """Label of one column, via backward steps (SBWT.hh:701-725)."""
+        sel = self.select_support()
+        return self.get_kmer_fast(colex_rank, sel)
+
+    def select_support(self):
+        from .select import MatrixSelectSupport
+
+        if not hasattr(self, "_select_support"):
+            self._select_support = MatrixSelectSupport(self.bits)
+        return self._select_support
+
+    def get_kmer_fast(self, colex_rank: int, ss) -> str:
+        """Label via select support (SBWT.hh:729-746)."""
+        C = self.C
+        buf = [""] * self.k
+        for i in range(self.k):
+            if colex_rank == 0:
+                buf[self.k - 1 - i] = "$"
+            else:
+                char_idx = int(np.searchsorted(C, colex_rank, side="right") - 1)
+                buf[self.k - 1 - i] = "ACGT"[char_idx]
+                rel = colex_rank - int(C[char_idx]) + 1  # 1-based
+                colex_rank = ss.select(rel, char_idx)
+        return "".join(buf)
+
+    def ascii_export_metadata(self) -> str:
+        """Metadata block of `sbwt ascii-export` (SBWT.hh:777-784)."""
+        from ..io.serialize import SBWT_VERSION
+
+        return (
+            f"version: {SBWT_VERSION}\n"
+            f"k: {self.k}\n"
+            f"number_of_sets: {self.number_of_subsets()}\n"
+            f"number_of_kmers: {self.number_of_kmers()}\n"
+        )
+
+    def ascii_export_sets(self) -> str:
+        """Concatenated sets, last member lowercased, '$' for empty sets
+        (SBWT.hh:750-773), vectorized."""
+        n = self.number_of_subsets()
+        sizes = self.bits.sum(axis=0)
+        pieces = []
+        chars = np.empty((4, n), dtype=np.uint8)
+        for c in range(4):
+            chars[c] = np.where(self.bits[c], CODE_TO_CHAR[c], 0)
+        # For each column emit its present chars in ACGT order, lowercasing
+        # the last; empty sets emit '$'.
+        cum = np.cumsum(self.bits, axis=0)  # position of each char within its set
+        last_row = np.where(sizes > 0, np.argmax(cum == sizes[None, :], axis=0), -1)
+        out = []
+        for c in range(4):
+            row = chars[c].copy()
+            lower_mask = (last_row == c) & self.bits[c]
+            row[lower_mask] += 32  # to lowercase
+            out.append(row)
+        stacked = np.stack(out)  # [4, n]
+        # Build the final byte string column-major, skipping zeros, and '$'
+        # for empty columns.
+        col_major = stacked.T  # [n, 4]
+        dollar = (sizes == 0).astype(np.uint8) * np.uint8(ord("$"))
+        with_dollar = np.concatenate([col_major, dollar[:, None]], axis=1).ravel()
+        return with_dollar[with_dollar != 0].tobytes().decode("ascii") + "\n"

@@ -1,0 +1,93 @@
+"""Packed bit vectors with word-fused rank support, TPU-native.
+
+Replaces sdsl's `bit_vector` + `rank_support_v5` (the innermost primitive
+of the reference query path, see SubsetMatrixRank.hh:31-37): a bit vector
+becomes uint32 words interleaved with their exclusive cumulative popcount,
+so a single 8-byte gather yields everything `rank(pos)` needs:
+
+    rank(pos) = cum[pos >> 5] + popcount(word[pos >> 5] & ((1 << (pos & 31)) - 1))
+
+Interleaving (bits, cum) per word keeps each rank query to ONE gather of
+contiguous bytes — the design goal on TPU where random HBM gathers are the
+bottleneck, not popcounts (the VPU does those for free).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+WORD_BITS = 32
+
+
+def n_words_padded(n_bits: int) -> int:
+    """Number of words including the pad word that makes rank(n) in-bounds."""
+    return n_bits // WORD_BITS + 1
+
+
+def pack_bits_host(bools: np.ndarray) -> np.ndarray:
+    """Pack a bool array into uint32 words, LSB-first, with one pad word."""
+    n = len(bools)
+    W = n_words_padded(n)
+    padded = np.zeros(W * WORD_BITS, dtype=bool)
+    padded[:n] = bools
+    b = padded.reshape(W, WORD_BITS).astype(np.uint32)
+    shifts = np.arange(WORD_BITS, dtype=np.uint32)
+    return (b << shifts).sum(axis=1, dtype=np.uint32)
+
+
+def rank_table_host(bools: np.ndarray) -> np.ndarray:
+    """Build the interleaved (bits, exclusive-cum-popcount) table, int32 [W, 2]."""
+    words = pack_bits_host(bools)
+    pops = np.array([bin(int(w)).count("1") for w in words], dtype=np.int64)
+    # Faster vectorized popcount:
+    v = words.copy()
+    v = v - ((v >> np.uint32(1)) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> np.uint32(2)) & np.uint32(0x33333333))
+    v = (v + (v >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    pops = ((v * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(pops)[:-1]])
+    if cum[-1] + pops[-1] >= 2**31:
+        raise ValueError("bit vector too large for int32 rank (>=2^31 set bits)")
+    tbl = np.empty((len(words), 2), dtype=np.int32)
+    tbl[:, 0] = words.view(np.int32)
+    tbl[:, 1] = cum.astype(np.int32)
+    return tbl
+
+
+def unpack_bits_host(tbl: np.ndarray, n_bits: int) -> np.ndarray:
+    """Recover the bool array from a rank table (host)."""
+    words = tbl[:, 0].view(np.uint32)
+    shifts = np.arange(WORD_BITS, dtype=np.uint32)
+    bits = ((words[:, None] >> shifts) & np.uint32(1)).astype(bool).ravel()
+    return bits[:n_bits]
+
+
+# ----------------------------------------------------------------------
+# Device-side rank primitives (pure functions of the table arrays).
+# ----------------------------------------------------------------------
+
+_ONE = np.uint32(1)
+
+
+def rank_from_row(row_bits: jax.Array, row_cum: jax.Array, offset: jax.Array):
+    """rank within a word given its (bits, cum) row and the bit offset [0,32)."""
+    word = row_bits.astype(jnp.uint32)
+    mask = (_ONE << offset.astype(jnp.uint32)) - _ONE  # offset<32 so no overflow
+    return row_cum + jax.lax.population_count(word & mask).astype(jnp.int32)
+
+
+def rank(tbl: jax.Array, pos: jax.Array) -> jax.Array:
+    """Batched rank: number of set bits strictly before pos. pos in [0, n]."""
+    w = pos >> 5
+    o = (pos & 31).astype(jnp.uint32)
+    row = tbl[w]  # gather [..., 2]
+    return rank_from_row(row[..., 0], row[..., 1], o)
+
+
+def get_bit(tbl: jax.Array, pos: jax.Array) -> jax.Array:
+    """Batched bit access."""
+    w = pos >> 5
+    o = (pos & 31).astype(jnp.uint32)
+    word = tbl[w, 0].astype(jnp.uint32)
+    return ((word >> o) & _ONE).astype(jnp.int32)

@@ -1,0 +1,276 @@
+"""Batched SBWT query engines (jit-compiled, lockstep over lanes).
+
+The reference answers one query at a time with scalar rank calls
+(SBWT.hh:390-437, 545-581).  On TPU the same math runs as lockstep vector
+programs: thousands of query lanes advance one LF step per iteration, each
+step costing one or two contiguous 8-byte gathers from the fused
+(bits, cum) rank table.
+
+Engines:
+  * update_interval_batch — vectorized update_sbwt_interval (SBWT.hh:423-437)
+  * search_batch          — vectorized search with precalc seeding (SBWT.hh:390-415)
+  * streaming_chain + streaming_search — vectorized streaming_search
+    (SBWT.hh:545-581).  The suffix-group left-walk becomes a branch-free
+    4-bit scan (suffix groups have at most 4 members, so the walk is
+    bounded); chain breaks are patched by a dynamically-sized second pass
+    of full searches, preserving exact output equality with per-k-mer
+    search (the documented contract, SBWT.hh:231).
+  * partial_search_batch  — vectorized partial_search (SBWT.hh:526-537)
+  * forward_batch         — vectorized forward (SBWT.hh:369-381)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_ONE = np.uint32(1)
+
+
+def _rank_rows(index, c, pos):
+    """Gather the (word, cum) rank row for character c at bit position pos.
+
+    Returns (word uint32, cum int32, offset uint32). pos in [0, n_nodes].
+    """
+    w = (pos >> 5).astype(jnp.int32)
+    o = (pos & 31).astype(jnp.uint32)
+    row = index.rank_tbl[c * index.n_words + w]
+    word = row[..., 0].astype(jnp.uint32)
+    cum = row[..., 1]
+    return word, cum, o
+
+
+def _rank_from(word, cum, o):
+    mask = (_ONE << o) - _ONE
+    return cum + lax.population_count(word & mask).astype(jnp.int32)
+
+
+def lf_step(index, l, r, c, alive):
+    """One LF iteration on intervals [l, r] for character codes c (SBWT.hh:430-433)."""
+    Cc = index.C[c]
+    wl, cl, ol = _rank_rows(index, c, l)
+    wr, cr, orr = _rank_rows(index, c, r + 1)
+    l2 = Cc + _rank_from(wl, cl, ol)
+    r2 = Cc + _rank_from(wr, cr, orr) - 1
+    alive2 = alive & (l2 <= r2)
+    l = jnp.where(alive2, l2, l)
+    r = jnp.where(alive2, r2, r)
+    return l, r, alive2
+
+
+def update_interval_batch(index, codes, l0, r0):
+    """Run LF iterations for each lane's code sequence codes [B, m].
+
+    Lanes with an invalid code (< 0) or an emptied interval go dead and
+    freeze; returns (l, r, alive).
+    """
+    codes = codes.astype(jnp.int32)
+
+    def step(carry, ct):
+        l, r, alive = carry
+        valid = ct >= 0  # lowercase codes 4..7 are valid here (toupper semantics)
+        cc = jnp.clip(ct, 0) & 3
+        l2, r2, alive2 = lf_step(index, l, r, cc, alive & valid)
+        return (l2, r2, alive2), None
+
+    (l, r, alive), _ = lax.scan(step, (l0, r0, jnp.ones_like(l0, dtype=bool)), codes.T)
+    return l, r, alive
+
+
+def search_batch(index, codes):
+    """Vectorized SBWT::search over a batch of k-mers.
+
+    codes: int [B, k] with values 0..3 (4..7 = lowercase and < 0 = other
+    characters are both invalid here, matching SBWT.hh:426-427 which
+    rejects anything but uppercase ACGT in per-k-mer search).
+    Returns int32 [B]: the colex rank of each k-mer, or -1 if absent or
+    containing an invalid character.
+    """
+    B, k = codes.shape
+    assert k == index.k, f"query length {k} != index k {index.k}"
+    codes = codes.astype(jnp.int32)
+    p = index.precalc_k
+    valid = jnp.all((codes >= 0) & (codes < 4), axis=1)
+    cc = jnp.clip(codes, 0) & 3
+    if p > 0:
+        weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
+        pidx = jnp.sum(cc[:, :p] * weights, axis=1)
+        seed = index.precalc[pidx]
+        l, r = seed[:, 0], seed[:, 1]
+        alive0 = l >= 0
+        l = jnp.where(alive0, l, 0)
+        r = jnp.where(alive0, r, 0)
+    else:
+        l = jnp.zeros(B, dtype=jnp.int32)
+        r = jnp.full(B, index.n_nodes - 1, dtype=jnp.int32)
+        alive0 = jnp.ones(B, dtype=bool)
+
+    def step(carry, ct):
+        l, r, alive = carry
+        l2, r2, alive2 = lf_step(index, l, r, ct, alive)
+        return (l2, r2, alive2), None
+
+    if k - p > 0:
+        (l, r, alive), _ = lax.scan(step, (l, r, alive0), cc[:, p:].T)
+    else:
+        alive = alive0
+    # A found k-mer interval is always a singleton (SBWT.hh:410-414).
+    return jnp.where(valid & alive, l, -1)
+
+
+def _sg_start(index, col):
+    """Suffix-group left-walk: greatest marked position <= col (SBWT.hh:563).
+
+    Suffix groups have at most 4 columns (4 possible preceding characters
+    for a shared (k-1)-suffix; dummy columns are always marked), so the
+    predecessor-set-bit is within 3 positions and always within the word
+    pair stored in sgs_tbl.
+    """
+    w = (col >> 5).astype(jnp.int32)
+    o = (col & 31).astype(jnp.int32)
+    row = index.sgs_tbl[w]
+    hi = row[..., 0].astype(jnp.uint32)
+    lo = row[..., 1].astype(jnp.uint32)
+
+    def bit_at(j):
+        jh = jnp.clip(j, 0, 31).astype(jnp.uint32)
+        jl = jnp.clip(j + 32, 0, 31).astype(jnp.uint32)
+        from_hi = (hi >> jh) & _ONE
+        from_lo = (lo >> jl) & _ONE
+        return jnp.where(j >= 0, from_hi, from_lo).astype(jnp.int32)
+
+    b0 = bit_at(o)
+    b1 = bit_at(o - 1)
+    b2 = bit_at(o - 2)
+    delta = jnp.where(b0 == 1, 0, jnp.where(b1 == 1, 1, jnp.where(b2 == 1, 2, 3)))
+    return col - delta
+
+
+def extend_from_column(index, col, c):
+    """Follow the out-edge labeled c from the suffix group of column col.
+
+    Returns the successor column or -1 (the streaming inner step,
+    SBWT.hh:566-577, fused to a single rank-table gather: the group's edge
+    bit and the rank below it come from the same word row).
+    """
+    s = _sg_start(index, col)
+    word, cum, o = _rank_rows(index, c, s)
+    r1 = _rank_from(word, cum, o)
+    bit = (word >> o) & _ONE
+    return jnp.where(bit == 1, index.C[c] + r1, -1)
+
+
+def forward_batch(index, nodes, c):
+    """Vectorized SBWT::forward (SBWT.hh:369-381)."""
+    return extend_from_column(index, nodes, c)
+
+
+def streaming_chain(index, codes):
+    """Phase 1 of streaming search: the cheap extension chain.
+
+    codes: int [B, L].  Returns (ans [B, P], unresolved [B, P]) with
+    P = L - k + 1: chained answers are exact until the first -1 in each
+    lane; positions after a -1 are unresolved and must be patched with
+    full searches (the reference restarts with search(), SBWT.hh:557-559).
+    """
+    B, L = codes.shape
+    k = index.k
+    P = L - k + 1
+    codes = codes.astype(jnp.int32)
+    col0 = search_batch(index, codes[:, :k])
+
+    def step(col, ct):
+        valid = ct >= 0  # lowercase is valid in the extension (SBWT.hh:565-566)
+        cc = jnp.clip(ct, 0) & 3
+        nxt = extend_from_column(index, jnp.clip(col, 0), cc)
+        nxt = jnp.where((col >= 0) & valid, nxt, -1)
+        return nxt, nxt
+
+    if P > 1:
+        _, rest = lax.scan(step, col0, codes[:, k:].T)
+        ans = jnp.concatenate([col0[:, None], rest.T], axis=1)
+    else:
+        ans = col0[:, None]
+    unresolved = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=bool), ans[:, :-1] == -1], axis=1
+    )
+    return ans, unresolved
+
+
+def streaming_search(index, codes, lengths=None, chunk=4096):
+    """Exact streaming search: chain + dynamically-sized full-search patch.
+
+    codes: int [B, L] (pad with -1); lengths: optional int [B] actual read
+    lengths.  Returns int32 [B, L-k+1]; positions beyond a read's length
+    are -1.  Output equals per-k-mer search at every position (the
+    contract of SBWT::streaming_search, SBWT.hh:231).
+    """
+    B, L = codes.shape
+    k = index.k
+    P = L - k + 1
+    ans, unresolved = streaming_chain(index, codes)
+
+    if lengths is not None:
+        pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
+        unresolved = unresolved & pos_ok
+
+    flat_mask = unresolved.ravel()
+    count = jnp.sum(flat_mask.astype(jnp.int32))
+    total = B * P
+    chunk = min(chunk, total)
+    # Compact the unresolved flat positions; fill with `total` (dropped on scatter).
+    work = jnp.nonzero(flat_mask, size=total, fill_value=total)[0].astype(jnp.int32)
+
+    codes_flat = codes.ravel().astype(jnp.int32)
+    karange = jnp.arange(k, dtype=jnp.int32)
+
+    def body(i, ans_flat):
+        sel = lax.dynamic_slice(work, (i * chunk,), (chunk,))
+        lane = jnp.clip(sel, 0, total - 1) // P
+        pos = jnp.clip(sel, 0, total - 1) % P
+        base = lane * L + pos
+        win = codes_flat[jnp.clip(base[:, None] + karange[None, :], 0, B * L - 1)]
+        res = search_batch(index, win)
+        return ans_flat.at[sel].set(res, mode="drop")
+
+    n_iters = (count + chunk - 1) // chunk
+    ans_flat = lax.fori_loop(0, n_iters, body, ans.ravel())
+    ans = ans_flat.reshape(B, P)
+    if lengths is not None:
+        pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
+        ans = jnp.where(pos_ok, ans, -1)
+    return ans
+
+
+def partial_search_batch(index, codes, lengths=None):
+    """Vectorized SBWT::partial_search (SBWT.hh:526-537).
+
+    Returns (l, r, matched_len): the interval of the longest matching
+    prefix of each lane's sequence and its length.
+    """
+    B, L = codes.shape
+    codes = codes.astype(jnp.int32)
+    l0 = jnp.zeros(B, dtype=jnp.int32)
+    r0 = jnp.full(B, index.n_nodes - 1, dtype=jnp.int32)
+    alive0 = jnp.ones(B, dtype=bool)
+    mlen0 = jnp.zeros(B, dtype=jnp.int32)
+
+    def step(carry, xs):
+        l, r, alive, mlen = carry
+        ct, t = xs
+        valid = ct >= 0  # partial_search uppercases its input (SBWT.hh:531)
+        if lengths is not None:
+            valid = valid & (t < lengths)
+        cc = jnp.clip(ct, 0) & 3
+        l2, r2, alive2 = lf_step(index, l, r, cc, alive & valid)
+        mlen = jnp.where(alive2, t + 1, mlen)
+        return (l2, r2, alive2, mlen), None
+
+    ts = jnp.arange(L, dtype=jnp.int32)
+    (l, r, alive, mlen), _ = lax.scan(
+        step, (l0, r0, alive0, mlen0), (codes.T, ts)
+    )
+    return l, r, mlen

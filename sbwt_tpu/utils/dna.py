@@ -20,6 +20,28 @@ for _i, _c in enumerate(ALPHABET):
 # 0..3 -> ACGT (globals.hh:42)
 CODE_TO_CHAR = np.frombuffer(b"ACGT", dtype=np.uint8).copy()
 
+# Query encoding: uppercase ACGT -> 0..3, lowercase acgt -> 4..7, other -> -1.
+# This keeps both of the reference's semantics recoverable from one array:
+# per-k-mer search treats lowercase as invalid (SBWT.hh:426-427 passes the
+# raw character to get_char_idx) while the streaming extension step
+# uppercases first (SBWT.hh:565-566), i.e. code & 3 with validity code >= 0.
+_CHAR_TO_QUERY_CODE = np.full(256, -1, dtype=np.int8)
+for _i, _c in enumerate(ALPHABET):
+    _CHAR_TO_QUERY_CODE[ord(_c)] = _i
+    _CHAR_TO_QUERY_CODE[ord(_c.lower())] = _i + 4
+
+
+def encode_query(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """Encode query text: ACGT -> 0..3, acgt -> 4..7, other -> -1."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        arr = np.asarray(seq, dtype=np.uint8)
+    return _CHAR_TO_QUERY_CODE[arr]
+
+
 # Reverse complement over raw bytes: uppercase->uppercase, lowercase->lowercase,
 # non-ACGT maps to itself (globals.hh:19-35).
 _RC_TABLE = np.arange(256, dtype=np.uint8)
