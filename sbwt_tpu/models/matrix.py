@@ -115,7 +115,7 @@ def with_precalc(index: MatrixIndex, precalc_k: int) -> MatrixIndex:
     The table is indexed by packing characters colex-reversed:
     idx = sum_i code[i] << (2*i) (SBWT.hh:396-401).
     """
-    from ..ops.search import update_interval_batch
+    from ..ops.search import update_interval_jit
 
     p = int(precalc_k)
     if p == 0:
@@ -136,7 +136,7 @@ def with_precalc(index: MatrixIndex, precalc_k: int) -> MatrixIndex:
         codes[:, i] = (ids >> (2 * i)) & 3
     l0 = jnp.zeros(n_entries, dtype=jnp.int32)
     r0 = jnp.full(n_entries, index.n_nodes - 1, dtype=jnp.int32)
-    l, r, alive = jax.jit(update_interval_batch)(base, jnp.asarray(codes), l0, r0)
+    l, r, alive = update_interval_jit(base, jnp.asarray(codes), l0, r0)
     tbl = jnp.stack(
         [jnp.where(alive, l, -1), jnp.where(alive, r, -1)], axis=1
     ).astype(jnp.int32)

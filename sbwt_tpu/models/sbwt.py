@@ -38,19 +38,11 @@ VARIANT_NAMES = [
 ]
 
 
-@partial(jax.jit, static_argnames=())
-def _jit_search(index, codes):
-    return engines.search_batch(index, codes)
-
-
-@partial(jax.jit, static_argnames=())
-def _jit_streaming(index, codes, lengths):
-    return engines.streaming_search(index, codes, lengths)
-
-
-@partial(jax.jit, static_argnames=())
-def _jit_partial(index, codes, lengths):
-    return engines.partial_search_batch(index, codes, lengths)
+_jit_search = jax.jit(engines.search_batch)
+_jit_streaming = jax.jit(engines.streaming_search)
+_jit_partial = jax.jit(engines.partial_search_batch)
+_jit_update_interval = jax.jit(engines.update_interval_batch)
+_jit_forward = jax.jit(engines.forward_batch)
 
 
 class SBWT:
@@ -196,7 +188,7 @@ class SBWT:
         codes = encode_query(s)
         # search semantics: raw char must be uppercase ACGT
         codes = np.where((codes >= 0) & (codes < 4), codes, -1)
-        l, r, alive = jax.jit(engines.update_interval_batch)(
+        l, r, alive = _jit_update_interval(
             self.device_index,
             jnp.asarray(codes[None, :]),
             jnp.asarray([interval[0]], dtype=jnp.int32),
@@ -213,7 +205,7 @@ class SBWT:
         code = int(encode_query(c)[0])
         if code < 0 or code >= 4:
             return -1
-        res = jax.jit(engines.forward_batch)(
+        res = _jit_forward(
             self.device_index,
             jnp.asarray([node], dtype=jnp.int32),
             jnp.asarray([code], dtype=jnp.int32),
@@ -226,7 +218,7 @@ class SBWT:
         (SBWT.hh:589-614), level-synchronous and batched."""
         marks = np.zeros(self.number_of_subsets(), dtype=bool)
         frontier = np.array([0], dtype=np.int32)
-        fwd = jax.jit(engines.forward_batch)
+        fwd = _jit_forward
         for depth in range(self.k):
             marks[frontier] = True
             if depth == self.k - 1:

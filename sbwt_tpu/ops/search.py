@@ -274,3 +274,10 @@ def partial_search_batch(index, codes, lengths=None):
         step, (l0, r0, alive0, mlen0), (codes.T, ts)
     )
     return l, r, mlen
+
+
+# Module-level jitted entry points (cached across calls).
+update_interval_jit = jax.jit(update_interval_batch)
+search_jit = jax.jit(search_batch)
+streaming_search_jit = jax.jit(streaming_search)
+forward_jit = jax.jit(forward_batch)
