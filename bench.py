@@ -1,0 +1,100 @@
+"""Benchmark: streaming k-mer membership queries/second on one chip.
+
+Workload mirrors the reference's headline path (`sbwt search` on a k=30
+plain-matrix index, src/CLI/sbwt_search.cpp:46-65): build an index over a
+genome, stream 100bp reads sampled from it (mostly-positive queries, like
+example_data/queries.fastq against its source genome), measure k-mer
+answers per second on device, excluding I/O.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.json north star): 100M queries/s/chip.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(genome_mbp: float = 4.0, seed: int = 20260817) -> str:
+    rng = np.random.default_rng(seed)
+    n = int(genome_mbp * 1e6)
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes().decode()
+
+
+def sample_reads(genome: str, n_reads: int, read_len: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(0, len(genome) - read_len, size=n_reads)
+    reads = [genome[s : s + read_len] for s in starts]
+    # ~2% of reads are random (absent k-mers) to exercise the restart path,
+    # like real sequencing data with errors.
+    n_rand = max(1, n_reads // 50)
+    for i in rng.integers(0, n_reads, size=n_rand):
+        reads[int(i)] = "".join(rng.choice(list("ACGT"), size=read_len))
+    return reads
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sbwt_tpu.models.sbwt import SBWT
+    from sbwt_tpu.ops.search import streaming_search_jit
+    from sbwt_tpu.utils.dna import encode_query
+    from sbwt_tpu.utils.logging import write_log
+
+    k = 30
+    read_len = 100
+    n_reads = 65536
+    genome = make_corpus()
+    write_log(f"bench: building k={k} index over {len(genome)/1e6:.1f} Mbp")
+    t0 = time.perf_counter()
+    sbwt = SBWT.build([genome], k, precalc_k=8)
+    build_s = time.perf_counter() - t0
+    write_log(
+        f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "
+        f"in {build_s:.1f}s"
+    )
+
+    reads = sample_reads(genome, n_reads, read_len)
+    codes = np.stack([encode_query(s) for s in reads]).astype(np.int8)
+    lengths = np.full(n_reads, read_len, dtype=np.int32)
+    codes_d = jnp.asarray(codes)
+    lengths_d = jnp.asarray(lengths)
+    queries_per_batch = n_reads * (read_len - k + 1)
+
+    # compile + warmup
+    out = streaming_search_jit(sbwt.device_index, codes_d, lengths_d)
+    jax.block_until_ready(out)
+
+    n_found = int((np.asarray(out) >= 0).sum())
+    write_log(
+        f"bench: {queries_per_batch} queries/batch, hit rate "
+        f"{n_found / queries_per_batch:.3f}"
+    )
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = streaming_search_jit(sbwt.device_index, codes_d, lengths_d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    qps = queries_per_batch * reps / dt
+
+    baseline = 100e6  # BASELINE.json: >=100M k-mer queries/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_kmer_queries_per_sec_per_chip",
+                "value": round(qps),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,18 @@ class MatrixIndex:
     n_words: int
     has_streaming: bool
 
+    # Gather interface used by the query engines (ops/search.py).  The
+    # row-sharded tensor-parallel view (parallel/sharded.py) implements the
+    # same two methods with a psum over the model axis, so every engine
+    # runs unchanged in both layouts.
+    def rank_row(self, c, w):
+        """(bits word, cum) int32 row for character c, word w."""
+        return self.rank_tbl[c * self.n_words + w]
+
+    def sgs_row(self, w):
+        """(sgs word w, sgs word w-1) int32 row."""
+        return self.sgs_tbl[w]
+
 
 def build_device_index(built, precalc_k: int = 0) -> MatrixIndex:
     """Upload a host BuiltSBWT (construct/inmemory.py) to device arrays."""

@@ -37,7 +37,7 @@ def _rank_rows(index, c, pos):
     """
     w = (pos >> 5).astype(jnp.int32)
     o = (pos & 31).astype(jnp.uint32)
-    row = index.rank_tbl[c * index.n_words + w]
+    row = index.rank_row(c, w)
     word = row[..., 0].astype(jnp.uint32)
     cum = row[..., 1]
     return word, cum, o
@@ -131,7 +131,7 @@ def _sg_start(index, col):
     """
     w = (col >> 5).astype(jnp.int32)
     o = (col & 31).astype(jnp.int32)
-    row = index.sgs_tbl[w]
+    row = index.sgs_row(w)
     hi = row[..., 0].astype(jnp.uint32)
     lo = row[..., 1].astype(jnp.uint32)
 
@@ -200,13 +200,18 @@ def streaming_chain(index, codes):
     return ans, unresolved
 
 
-def streaming_search(index, codes, lengths=None, chunk=4096):
+def streaming_search(index, codes, lengths=None, chunk=4096, sync_axes=None):
     """Exact streaming search: chain + dynamically-sized full-search patch.
 
     codes: int [B, L] (pad with -1); lengths: optional int [B] actual read
     lengths.  Returns int32 [B, L-k+1]; positions beyond a read's length
     are -1.  Output equals per-k-mer search at every position (the
     contract of SBWT::streaming_search, SBWT.hh:231).
+
+    sync_axes: mesh axis names over which the patch-pass trip count must
+    be maximized (required when the index gathers psum over a model axis
+    inside shard_map: collectives must run the same number of times on
+    every device).
     """
     B, L = codes.shape
     k = index.k
@@ -237,6 +242,8 @@ def streaming_search(index, codes, lengths=None, chunk=4096):
         return ans_flat.at[sel].set(res, mode="drop")
 
     n_iters = (count + chunk - 1) // chunk
+    if sync_axes:
+        n_iters = lax.pmax(n_iters, sync_axes)
     ans_flat = lax.fori_loop(0, n_iters, body, ans.ravel())
     ans = ans_flat.reshape(B, P)
     if lengths is not None:

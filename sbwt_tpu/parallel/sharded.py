@@ -1,0 +1,214 @@
+"""Multi-chip execution: data-parallel queries + row-sharded (TP) index.
+
+The reference is single-node, single-threaded at query time
+(src/CLI/sbwt_search.cpp:46-91); its only scaling story is "run more
+processes".  Here scaling is mesh-native:
+
+* **Data parallelism** (the primary axis): query batches are sharded over
+  the `data` mesh axis; the index tables are replicated.  The engines in
+  ops/search.py run unchanged under jit with sharding annotations — every
+  gather is local, no collectives on the hot path.
+
+* **Tensor parallelism** (for indexes too large to replicate): the rank
+  tables are row-sharded over the `model` axis; each device answers the
+  rank queries whose word falls in its shard and the partial answers are
+  combined with a `psum` over `model`.  This is expressed with
+  `shard_map`, reusing the exact same engine code through a duck-typed
+  index view (`TPIndexView`) that implements the two-gather interface.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.matrix import MatrixIndex
+from ..ops import search as engines
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism: replicated index, sharded queries
+# ---------------------------------------------------------------------------
+
+def replicate_index(index: MatrixIndex, mesh: Mesh) -> MatrixIndex:
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), index)
+
+
+def dp_streaming_search(index: MatrixIndex, codes, lengths, mesh: Mesh):
+    """Streaming search with reads sharded over the data axis."""
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    lane_sharding = NamedSharding(mesh, P("data"))
+    codes = jax.device_put(codes, batch_sharding)
+    lengths = jax.device_put(lengths, lane_sharding)
+    fn = jax.jit(
+        engines.streaming_search,
+        out_shardings=batch_sharding,
+    )
+    return fn(index, codes, lengths)
+
+
+def dp_search(index: MatrixIndex, codes, mesh: Mesh):
+    """Per-k-mer search with k-mers sharded over the data axis."""
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    codes = jax.device_put(codes, batch_sharding)
+    fn = jax.jit(engines.search_batch, out_shardings=NamedSharding(mesh, P("data")))
+    return fn(index, codes)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism: row-sharded rank tables
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TPIndexView:
+    """Per-device view of a row-sharded index inside shard_map.
+
+    Implements the same gather interface as MatrixIndex (rank_row /
+    sgs_row); out-of-shard gathers contribute zero and a psum over the
+    `model` axis reassembles the full row.
+    """
+
+    rank_local: jax.Array  # int32 [rows_per_shard, 2]
+    sgs_local: jax.Array  # int32 [sgs_rows_per_shard, 2]
+    C: jax.Array
+    precalc: jax.Array
+    n_nodes: int
+    n_kmers: int
+    k: int
+    precalc_k: int
+    n_words: int
+    has_streaming: bool
+    axis: str = "model"
+
+    def _sharded_gather(self, table, idx):
+        shard = lax.axis_index(self.axis).astype(jnp.int32)
+        rows = table.shape[0]
+        lo = shard * rows
+        local = idx - lo
+        in_range = (local >= 0) & (local < rows)
+        row = table[jnp.clip(local, 0, rows - 1)]
+        row = jnp.where(in_range[..., None], row, 0)
+        return lax.psum(row, self.axis)
+
+    def rank_row(self, c, w):
+        return self._sharded_gather(self.rank_local, c * self.n_words + w)
+
+    def sgs_row(self, w):
+        return self._sharded_gather(self.sgs_local, w)
+
+
+def _pad_rows(arr: np.ndarray | jax.Array, multiple: int):
+    rows = arr.shape[0]
+    target = -(-rows // multiple) * multiple
+    if target == rows:
+        return arr
+    pad = [(0, target - rows)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def shard_index_rows(index: MatrixIndex, mesh: Mesh) -> MatrixIndex:
+    """Place the index with rank/sgs tables row-sharded over `model`."""
+    n_model = mesh.shape["model"]
+    rank_tbl = _pad_rows(index.rank_tbl, n_model)
+    sgs_tbl = _pad_rows(index.sgs_tbl, n_model)
+    row_shard = NamedSharding(mesh, P("model", None))
+    repl = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        index,
+        rank_tbl=jax.device_put(rank_tbl, row_shard),
+        sgs_tbl=jax.device_put(sgs_tbl, row_shard),
+        C=jax.device_put(index.C, repl),
+        precalc=jax.device_put(index.precalc, repl),
+    )
+
+
+def _tp_view(meta: MatrixIndex, rank_local, sgs_local, C, precalc) -> TPIndexView:
+    # Only static python metadata is taken from `meta`; every array comes in
+    # as an explicit shard_map operand (closing over sharded globals inside
+    # the body would capture them as constants).
+    return TPIndexView(
+        rank_local=rank_local,
+        sgs_local=sgs_local,
+        C=C,
+        precalc=precalc,
+        n_nodes=meta.n_nodes,
+        n_kmers=meta.n_kmers,
+        k=meta.k,
+        precalc_k=meta.precalc_k,
+        n_words=meta.n_words,
+        has_streaming=meta.has_streaming,
+    )
+
+
+def tp_search(index: MatrixIndex, codes, mesh: Mesh):
+    """Per-k-mer search over a (data, model)-sharded mesh.
+
+    The index rows live sharded over `model`; queries are sharded over
+    `data`; each rank gather is a masked local gather + psum over `model`.
+    """
+    sharded = shard_index_rows(index, mesh)
+
+    def body(rank_local, sgs_local, C, precalc, codes_local):
+        view = _tp_view(index, rank_local, sgs_local, C, precalc)
+        return engines.search_batch(view, codes_local)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("model", None), P("model", None), P(), P(), P("data", None)),
+            out_specs=P("data"),
+        )
+    )
+    codes = jax.device_put(codes, NamedSharding(mesh, P("data", None)))
+    return fn(sharded.rank_tbl, sharded.sgs_tbl, sharded.C, sharded.precalc, codes)
+
+
+def tp_streaming_search(index: MatrixIndex, codes, lengths, mesh: Mesh):
+    """Streaming search with row-sharded index + data-sharded reads.
+
+    The patch pass's trip count is synchronized over the data axis
+    (sync_axes) because its body contains the model-axis psum gathers:
+    every device must execute the same number of collectives.
+    """
+    sharded = shard_index_rows(index, mesh)
+
+    def body(rank_local, sgs_local, C, precalc, codes_local, lengths_local):
+        view = _tp_view(index, rank_local, sgs_local, C, precalc)
+        return engines.streaming_search(
+            view, codes_local, lengths_local, sync_axes=("data",)
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("model", None),
+                P("model", None),
+                P(),
+                P(),
+                P("data", None),
+                P("data"),
+            ),
+            out_specs=P("data", None),
+        )
+    )
+    codes = jax.device_put(codes, NamedSharding(mesh, P("data", None)))
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    return fn(sharded.rank_tbl, sharded.sgs_tbl, sharded.C, sharded.precalc, codes, lengths)

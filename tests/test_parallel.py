@@ -1,0 +1,82 @@
+"""Sharding tests on a virtual 8-device CPU mesh.
+
+Data-parallel and tensor-parallel (row-sharded) query execution must equal
+single-device results exactly.
+"""
+import numpy as np
+import pytest
+import jax
+
+from sbwt_tpu.models.sbwt import SBWT
+from sbwt_tpu.parallel import sharded
+from sbwt_tpu.utils.dna import encode_query
+
+SEQS = ["CCCGTGATGGCTAGCTAGCTGATCGATCGTACGTACGTAGCTAGCATCG" * 3, "TAATGCTGTAGCAAAGGCTTAC"]
+K = 8
+
+
+@pytest.fixture(scope="module")
+def sbwt():
+    return SBWT.build(SEQS, K, precalc_k=3)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(42)
+    reads = []
+    for _ in range(16):
+        if rng.random() < 0.5:
+            s = SEQS[0][int(rng.integers(0, 20)) : int(rng.integers(40, 120))]
+        else:
+            s = "".join(rng.choice(list("ACGT"), size=64))
+        reads.append(s)
+    L = 160
+    codes = np.full((16, L), -1, dtype=np.int8)
+    lengths = np.zeros(16, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_query(r)
+        lengths[i] = len(r)
+    return codes, lengths
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_search_matches_single_device(sbwt, batch):
+    codes, lengths = batch
+    kmers = codes[:, :K]
+    want = sbwt.search_batch(kmers)
+    mesh = sharded.make_mesh(n_data=8, n_model=1)
+    index = sharded.replicate_index(sbwt.device_index, mesh)
+    got = np.asarray(sharded.dp_search(index, kmers, mesh))
+    assert np.array_equal(got, want)
+
+
+def test_dp_streaming_matches_single_device(sbwt, batch):
+    codes, lengths = batch
+    want = sbwt.streaming_search_batch(codes, lengths)
+    mesh = sharded.make_mesh(n_data=8, n_model=1)
+    index = sharded.replicate_index(sbwt.device_index, mesh)
+    got = np.asarray(sharded.dp_streaming_search(index, codes, lengths, mesh))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4), (1, 8)])
+def test_tp_search_matches_single_device(sbwt, batch, n_data, n_model):
+    codes, lengths = batch
+    kmers = codes[:, :K]
+    want = sbwt.search_batch(kmers)
+    mesh = sharded.make_mesh(n_data=n_data, n_model=n_model)
+    got = np.asarray(sharded.tp_search(sbwt.device_index, kmers, mesh))
+    assert np.array_equal(got, want)
+
+
+def test_tp_streaming_matches_single_device(sbwt, batch):
+    codes, lengths = batch
+    want = sbwt.streaming_search_batch(codes, lengths)
+    mesh = sharded.make_mesh(n_data=4, n_model=2)
+    got = np.asarray(
+        sharded.tp_streaming_search(sbwt.device_index, codes, lengths, mesh)
+    )
+    assert np.array_equal(got, want)
