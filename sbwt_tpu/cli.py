@@ -159,7 +159,7 @@ def build_variant_main(argv) -> int:
         sys.stderr.write("Error: input index is not a plain-matrix SBWT\n")
         return 1
     write_log(f"Building variant {args.variant}")
-    sbwt.variant = args.variant
+    sbwt = sbwt.to_variant(args.variant)
     fmt = args.format or ("cpp" if args.variant == "plain-matrix" else "native")
     bytes_written = save(args.out_file, sbwt, fmt)
     write_log(f"Built variant {args.variant} to file {args.out_file}")
@@ -182,6 +182,12 @@ def ascii_export_main(argv) -> int:
 
     sbwt = load(args.index_file)
     write_log(f"Loading and exporting the index variant {sbwt.variant}")
+    if sbwt.variant.startswith("mef-"):
+        # Match the reference CLI: mef variants refuse ascii export
+        # (sbwt_ascii_export.cpp:66,80,89 — mod_ef_vector lacks access
+        # there; our structures could export, but the UX is kept identical).
+        sys.stderr.write("Error: ascii export not supported for mef variants\n")
+        return 1
     with open(args.out_file, "w") as f:
         f.write(sbwt.ascii_export_metadata())
         f.write(sbwt.ascii_export_sets())

@@ -11,13 +11,9 @@ Two formats:
   SubsetMatrixRank.hh:108-114), raw int64 metadata.  This lets the TPU
   framework load reference-built plain-matrix indexes directly.
 
-* **native** — a numpy container holding the same logical content plus the
-  precomputed TPU rank tables; fastest to load.
-
-The variant tag is preserved for all 10 reference variant names; in the
-current release every variant is *queried* through the plain-matrix device
-engine (the variants differ in on-disk/in-memory compression, not in query
-semantics).
+* **native** — a numpy container holding the variant's own compressed
+  structure payload (models/subsetrank.py), so rrr/mef/concat/split files
+  are genuinely smaller on disk, like the reference's variants.
 """
 from __future__ import annotations
 
@@ -211,9 +207,26 @@ def load_cpp_stream(f):
 # ---------------------------------------------------------------------------
 # native format
 # ---------------------------------------------------------------------------
+#
+# Layout: MAGIC, json header (meta + ordered payload keys), then one
+# np.save per payload array.  For plain-matrix the payload is the packed
+# bit matrix; for every other variant it is the variant's own compressed
+# structure payload (models/subsetrank.py), so on-disk size reflects the
+# variant's true compression — the property the reference's variant
+# families exist for.
+
+
+def _variant_payload(sbwt) -> dict:
+    if sbwt.variant == "plain-matrix":
+        return {"bits_packed": np.packbits(sbwt.bits, axis=1, bitorder="little")}
+    return sbwt.device_index.struct.payload()
+
 
 def save_native(path: str, sbwt) -> int:
     di = sbwt.device_index
+    payload = _variant_payload(sbwt)
+    payload["sgs_packed"] = np.packbits(sbwt.suffix_group_starts, bitorder="little")
+    payload["precalc"] = np.asarray(di.precalc, dtype=np.int32)
     meta = {
         "variant": sbwt.variant,
         "k": di.k,
@@ -221,44 +234,67 @@ def save_native(path: str, sbwt) -> int:
         "n_kmers": di.n_kmers,
         "precalc_k": di.precalc_k,
         "has_streaming": di.has_streaming,
+        "payload_keys": list(payload.keys()),
     }
     with open(path, "wb") as f:
         f.write(NATIVE_MAGIC)
         header = json.dumps(meta).encode()
         f.write(struct.pack("<q", len(header)))
         f.write(header)
-        np.save(f, np.packbits(sbwt.bits, axis=1, bitorder="little"))
-        np.save(f, np.packbits(sbwt.suffix_group_starts, bitorder="little"))
-        np.save(f, np.asarray(di.precalc, dtype=np.int32))
+        for key in payload:
+            np.save(f, np.asarray(payload[key]))
         return f.tell()
 
 
 def load_native(f):
     from ..models.sbwt import SBWT
+    from ..models.subsetrank import struct_from_payload
+    from ..models.variants import build_generic_index
 
     magic = f.read(len(NATIVE_MAGIC))
     if magic != NATIVE_MAGIC:
         raise ValueError("not a native SBWT-TPU index file")
     (hlen,) = struct.unpack("<q", f.read(8))
     meta = json.loads(f.read(hlen))
-    bits_packed = np.load(f)
-    sgs_packed = np.load(f)
-    precalc = np.load(f)
+    payload = {}
+    for key in meta["payload_keys"]:
+        payload[key] = np.load(f)
     n = meta["n_nodes"]
-    bits = np.unpackbits(bits_packed, axis=1, bitorder="little")[:, :n].astype(bool)
-    if meta["has_streaming"]:
-        sgs = np.unpackbits(sgs_packed, bitorder="little")[:n].astype(bool)
-    else:
-        sgs = None
-    return SBWT(
+    sgs = (
+        np.unpackbits(payload["sgs_packed"], bitorder="little")[:n].astype(bool)
+        if meta["has_streaming"]
+        else None
+    )
+    precalc = payload["precalc"]
+    precalc_table = precalc if meta["precalc_k"] > 0 else None
+
+    if meta["variant"] == "plain-matrix":
+        bits = np.unpackbits(payload["bits_packed"], axis=1, bitorder="little")[
+            :, :n
+        ].astype(bool)
+        return SBWT(
+            bits,
+            sgs,
+            k=meta["k"],
+            n_kmers=meta["n_kmers"],
+            precalc_k=meta["precalc_k"],
+            variant=meta["variant"],
+            precalc_table=precalc_table,
+        )
+
+    st = struct_from_payload(meta["variant"], payload)
+    bits = st.to_bits()
+    device_index = build_generic_index(
+        meta["variant"],
         bits,
-        sgs,
+        sgs if sgs is not None else np.empty(0, dtype=bool),
         k=meta["k"],
         n_kmers=meta["n_kmers"],
         precalc_k=meta["precalc_k"],
-        variant=meta["variant"],
-        precalc_table=precalc if meta["precalc_k"] > 0 else None,
+        precalc_table=precalc_table,
+        struct=st,
     )
+    return SBWT.from_device_index(device_index, bits, sgs)
 
 
 # ---------------------------------------------------------------------------

@@ -23,13 +23,72 @@ import jax.numpy as jnp
 from ..ops import bitvector as bv
 
 
+_ONE = np.uint32(1)
+
+
+class FusedRowEngineMixin:
+    """Engine-facing interface (ops/search.py) implemented on the fused
+    (bits word, cum popcount) row layout.  Requires `rank_row(c, w)` and
+    `sgs_row(w)` — provided by MatrixIndex (direct gathers) and by the
+    tensor-parallel view (psum-combined shard gathers, parallel/sharded.py).
+    """
+
+    def rank_c(self, c, pos):
+        """Count of character c in subsets 0..pos-1 (SubsetMatrixRank.hh:31-37).
+
+        One contiguous 8-byte gather per lane."""
+        w = (pos >> 5).astype(jnp.int32)
+        o = (pos & 31).astype(jnp.uint32)
+        row = self.rank_row(c, w)
+        word = row[..., 0].astype(jnp.uint32)
+        mask = (_ONE << o) - _ONE
+        return row[..., 1] + jax.lax.population_count(word & mask).astype(jnp.int32)
+
+    def extend_rank(self, c, pos):
+        """(rank_c(c, pos), bit of row c at pos) from a single gather: the
+        edge bit and the rank below it live in the same word row."""
+        w = (pos >> 5).astype(jnp.int32)
+        o = (pos & 31).astype(jnp.uint32)
+        row = self.rank_row(c, w)
+        word = row[..., 0].astype(jnp.uint32)
+        mask = (_ONE << o) - _ONE
+        r = row[..., 1] + jax.lax.population_count(word & mask).astype(jnp.int32)
+        bit = ((word >> o) & _ONE).astype(jnp.int32)
+        return r, bit
+
+    def sg_start(self, col):
+        """Suffix-group left-walk: greatest marked position <= col
+        (SBWT.hh:563).  Suffix groups have at most 4 columns (4 possible
+        preceding characters for a shared (k-1)-suffix; dummy columns are
+        always marked), so the predecessor-set-bit is within 3 positions
+        and always within the stored (word, previous word) pair."""
+        w = (col >> 5).astype(jnp.int32)
+        o = (col & 31).astype(jnp.int32)
+        row = self.sgs_row(w)
+        hi = row[..., 0].astype(jnp.uint32)
+        lo = row[..., 1].astype(jnp.uint32)
+
+        def bit_at(j):
+            jh = jnp.clip(j, 0, 31).astype(jnp.uint32)
+            jl = jnp.clip(j + 32, 0, 31).astype(jnp.uint32)
+            from_hi = (hi >> jh) & _ONE
+            from_lo = (lo >> jl) & _ONE
+            return jnp.where(j >= 0, from_hi, from_lo).astype(jnp.int32)
+
+        b0 = bit_at(o)
+        b1 = bit_at(o - 1)
+        b2 = bit_at(o - 2)
+        delta = jnp.where(b0 == 1, 0, jnp.where(b1 == 1, 1, jnp.where(b2 == 1, 2, 3)))
+        return col - delta
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rank_tbl", "sgs_tbl", "C", "precalc"],
     meta_fields=["n_nodes", "n_kmers", "k", "precalc_k", "n_words", "has_streaming"],
 )
 @dataclass(frozen=True)
-class MatrixIndex:
+class MatrixIndex(FusedRowEngineMixin):
     """Device representation of the plain-matrix SBWT."""
 
     rank_tbl: jax.Array  # int32 [4 * n_words, 2]: (bits word, exclusive cum popcount)
@@ -43,10 +102,6 @@ class MatrixIndex:
     n_words: int
     has_streaming: bool
 
-    # Gather interface used by the query engines (ops/search.py).  The
-    # row-sharded tensor-parallel view (parallel/sharded.py) implements the
-    # same two methods with a psum over the model axis, so every engine
-    # runs unchanged in both layouts.
     def rank_row(self, c, w):
         """(bits word, cum) int32 row for character c, word w."""
         return self.rank_tbl[c * self.n_words + w]

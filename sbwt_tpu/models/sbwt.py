@@ -46,10 +46,12 @@ _jit_forward = jax.jit(engines.forward_batch)
 
 
 class SBWT:
-    """Plain-matrix SBWT with batched TPU query engines.
+    """SBWT index with batched TPU query engines.
 
-    `variant` records which space/time layout the index uses for
-    serialization compatibility; all variants answer identical queries.
+    `variant` selects the subset-rank structure (variants.hh:19-63):
+    plain-matrix uses the fused-row MatrixIndex; the other nine use the
+    corresponding compressed structure behind the same engine interface.
+    All variants answer identical queries.
     """
 
     def __init__(
@@ -69,14 +71,65 @@ class SBWT:
             else np.empty(0, dtype=bool)
         )
         self.variant = variant
-        self.device_index: MatrixIndex = from_host_arrays(
-            self.bits,
-            self.suffix_group_starts,
-            k=k,
-            n_kmers=n_kmers,
-            precalc_k=precalc_k,
-            precalc_table=precalc_table,
+        if variant == "plain-matrix":
+            self.device_index = from_host_arrays(
+                self.bits,
+                self.suffix_group_starts,
+                k=k,
+                n_kmers=n_kmers,
+                precalc_k=precalc_k,
+                precalc_table=precalc_table,
+            )
+        else:
+            from .variants import build_generic_index
+
+            self.device_index = build_generic_index(
+                variant,
+                self.bits,
+                self.suffix_group_starts,
+                k=k,
+                n_kmers=n_kmers,
+                precalc_k=precalc_k,
+                precalc_table=precalc_table,
+            )
+
+    @classmethod
+    def from_device_index(cls, device_index, bits, suffix_group_starts):
+        """Wrap an already-built device index (e.g. loaded from a payload)."""
+        self = object.__new__(cls)
+        self.bits = np.asarray(bits, dtype=bool)
+        self.suffix_group_starts = (
+            np.asarray(suffix_group_starts, dtype=bool)
+            if suffix_group_starts is not None
+            else np.empty(0, dtype=bool)
         )
+        self.variant = getattr(device_index, "variant", "plain-matrix")
+        self.device_index = device_index
+        return self
+
+    def to_variant(self, variant: str) -> "SBWT":
+        """Re-encode into another variant, preserving k / n_kmers / precalc
+        (the build-variant path, src/CLI/sbwt_build_from_plain_matrix.cpp)."""
+        return SBWT(
+            self.bits,
+            self.suffix_group_starts if self.has_streaming_query_support() else None,
+            k=self.k,
+            n_kmers=self.number_of_kmers(),
+            precalc_k=self.get_precalc_k(),
+            variant=variant,
+            precalc_table=(
+                np.asarray(self.device_index.precalc)
+                if self.get_precalc_k() > 0
+                else None
+            ),
+        )
+
+    def structure_size_in_bytes(self) -> int:
+        """Size of the subset-rank structure (for bits/k-mer logging)."""
+        di = self.device_index
+        if hasattr(di, "struct"):
+            return di.struct.size_in_bytes()
+        return int(np.asarray(di.rank_tbl).nbytes)
 
     # ---- constructors -------------------------------------------------
     @classmethod
@@ -134,7 +187,12 @@ class SBWT:
         return self.device_index.has_streaming
 
     def do_kmer_prefix_precalc(self, p: int) -> None:
-        self.device_index = with_precalc(self.device_index, p)
+        if self.variant == "plain-matrix":
+            self.device_index = with_precalc(self.device_index, p)
+        else:
+            from .variants import generic_with_precalc
+
+            self.device_index = generic_with_precalc(self.device_index, p)
 
     # ---- queries ------------------------------------------------------
     def search_batch(self, codes: np.ndarray) -> np.ndarray:

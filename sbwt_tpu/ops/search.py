@@ -30,31 +30,11 @@ from jax import lax
 _ONE = np.uint32(1)
 
 
-def _rank_rows(index, c, pos):
-    """Gather the (word, cum) rank row for character c at bit position pos.
-
-    Returns (word uint32, cum int32, offset uint32). pos in [0, n_nodes].
-    """
-    w = (pos >> 5).astype(jnp.int32)
-    o = (pos & 31).astype(jnp.uint32)
-    row = index.rank_row(c, w)
-    word = row[..., 0].astype(jnp.uint32)
-    cum = row[..., 1]
-    return word, cum, o
-
-
-def _rank_from(word, cum, o):
-    mask = (_ONE << o) - _ONE
-    return cum + lax.population_count(word & mask).astype(jnp.int32)
-
-
 def lf_step(index, l, r, c, alive):
     """One LF iteration on intervals [l, r] for character codes c (SBWT.hh:430-433)."""
     Cc = index.C[c]
-    wl, cl, ol = _rank_rows(index, c, l)
-    wr, cr, orr = _rank_rows(index, c, r + 1)
-    l2 = Cc + _rank_from(wl, cl, ol)
-    r2 = Cc + _rank_from(wr, cr, orr) - 1
+    l2 = Cc + index.rank_c(c, l)
+    r2 = Cc + index.rank_c(c, r + 1) - 1
     alive2 = alive & (l2 <= r2)
     l = jnp.where(alive2, l2, l)
     r = jnp.where(alive2, r2, r)
@@ -121,45 +101,14 @@ def search_batch(index, codes):
     return jnp.where(valid & alive, l, -1)
 
 
-def _sg_start(index, col):
-    """Suffix-group left-walk: greatest marked position <= col (SBWT.hh:563).
-
-    Suffix groups have at most 4 columns (4 possible preceding characters
-    for a shared (k-1)-suffix; dummy columns are always marked), so the
-    predecessor-set-bit is within 3 positions and always within the word
-    pair stored in sgs_tbl.
-    """
-    w = (col >> 5).astype(jnp.int32)
-    o = (col & 31).astype(jnp.int32)
-    row = index.sgs_row(w)
-    hi = row[..., 0].astype(jnp.uint32)
-    lo = row[..., 1].astype(jnp.uint32)
-
-    def bit_at(j):
-        jh = jnp.clip(j, 0, 31).astype(jnp.uint32)
-        jl = jnp.clip(j + 32, 0, 31).astype(jnp.uint32)
-        from_hi = (hi >> jh) & _ONE
-        from_lo = (lo >> jl) & _ONE
-        return jnp.where(j >= 0, from_hi, from_lo).astype(jnp.int32)
-
-    b0 = bit_at(o)
-    b1 = bit_at(o - 1)
-    b2 = bit_at(o - 2)
-    delta = jnp.where(b0 == 1, 0, jnp.where(b1 == 1, 1, jnp.where(b2 == 1, 2, 3)))
-    return col - delta
-
-
 def extend_from_column(index, col, c):
     """Follow the out-edge labeled c from the suffix group of column col.
 
     Returns the successor column or -1 (the streaming inner step,
-    SBWT.hh:566-577, fused to a single rank-table gather: the group's edge
-    bit and the rank below it come from the same word row).
-    """
-    s = _sg_start(index, col)
-    word, cum, o = _rank_rows(index, c, s)
-    r1 = _rank_from(word, cum, o)
-    bit = (word >> o) & _ONE
+    SBWT.hh:566-577).  On the plain-matrix layout the group's edge bit and
+    the rank below it come from one fused gather (extend_rank)."""
+    s = index.sg_start(col)
+    r1, bit = index.extend_rank(c, s)
     return jnp.where(bit == 1, index.C[c] + r1, -1)
 
 

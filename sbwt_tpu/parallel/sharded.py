@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.matrix import MatrixIndex
+from ..models.matrix import FusedRowEngineMixin, MatrixIndex
 from ..ops import search as engines
 
 
@@ -75,12 +75,13 @@ def dp_search(index: MatrixIndex, codes, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 @dataclass
-class TPIndexView:
+class TPIndexView(FusedRowEngineMixin):
     """Per-device view of a row-sharded index inside shard_map.
 
     Implements the same gather interface as MatrixIndex (rank_row /
     sgs_row); out-of-shard gathers contribute zero and a psum over the
-    `model` axis reassembles the full row.
+    `model` axis reassembles the full row.  The engine-facing methods
+    (rank_c / extend_rank / sg_start) come from the fused-row mixin.
     """
 
     rank_local: jax.Array  # int32 [rows_per_shard, 2]

@@ -1,0 +1,24 @@
+import time
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+def run(M, B=262144, STEPS=8):
+    mk = jax.jit(lambda: (jnp.arange(2 * M, dtype=jnp.int32) * 1103515245 % M).reshape(M, 2))
+    tbl = mk(); jax.block_until_ready(tbl)
+    def f(tbl, idx0):
+        def step(i, col):
+            return tbl[col][..., 1]
+        return lax.fori_loop(0, STEPS, step, idx0)
+    fj = jax.jit(f)
+    idxs = [jax.random.randint(jax.random.PRNGKey(i), (B,), 0, M, dtype=jnp.int32) for i in range(6)]
+    jax.block_until_ready(idxs)
+    jax.block_until_ready(fj(tbl, idxs[5]))
+    t0 = time.perf_counter()
+    outs = [fj(tbl, idxs[i]) for i in range(5)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter()-t0)/5
+    print(f"M={M/1e6:5.1f}M: {dt*1e3:8.2f} ms, {B*STEPS/dt/1e6:8.1f}M gathers/s, checksum {int(sum(int(o.sum()) for o in outs))}", flush=True)
+
+run(18_400_000)
+run(73_600_000)
