@@ -45,18 +45,26 @@ def main():
     from sbwt_tpu.utils.dna import encode_query
     from sbwt_tpu.utils.logging import write_log
 
+    from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+
     k = 30
     read_len = 100
-    n_reads = 65536
+    n_reads = 262144
     genome = make_corpus()
     write_log(f"bench: building k={k} index over {len(genome)/1e6:.1f} Mbp")
     t0 = time.perf_counter()
-    sbwt = SBWT.build([genome], k, precalc_k=8)
+    # p=12 > log4(n): precalc seeds are singletons/empty, which makes the
+    # turbo fast path cover essentially all restarts
+    sbwt = SBWT.build([genome], k, precalc_k=12)
     build_s = time.perf_counter() - t0
     write_log(
         f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "
         f"in {build_s:.1f}s"
     )
+    t0 = time.perf_counter()
+    turbo = build_turbo(sbwt.device_index)
+    jax.block_until_ready(turbo.pair_tbl)
+    write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
 
     reads = sample_reads(genome, n_reads, read_len)
     codes = np.stack([encode_query(s) for s in reads]).astype(np.int8)
@@ -66,7 +74,7 @@ def main():
     queries_per_batch = n_reads * (read_len - k + 1)
 
     # compile + warmup
-    out = streaming_search_jit(sbwt.device_index, codes_d, lengths_d)
+    out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
     jax.block_until_ready(out)
 
     n_found = int((np.asarray(out) >= 0).sum())
@@ -78,7 +86,7 @@ def main():
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = streaming_search_jit(sbwt.device_index, codes_d, lengths_d)
+        out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     qps = queries_per_batch * reps / dt

@@ -42,6 +42,16 @@ def encode_reads(reads: list[bytes], pad_len: int | None = None):
 
 def format_answers(ans_rows: list[np.ndarray]) -> bytes:
     """print_vector-compatible formatting: 'r1 r2 ... rn \\n' per read."""
+    from .. import native
+
+    if native.available() and ans_rows:
+        lens = np.array([len(r) for r in ans_rows], dtype=np.int64)
+        vals = (
+            np.concatenate([np.asarray(r, dtype=np.int64) for r in ans_rows])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        return native.format_ranks(vals, lens)
     out = bytearray()
     for row in ans_rows:
         if len(row):
@@ -105,26 +115,70 @@ def _per_kmer_batch(sbwt, codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.where(pos_ok, ans, -1)
 
 
+def _padded_from_flat(codes_flat: np.ndarray, offs: np.ndarray, pad_len: int):
+    """[B, L] padded batch + lengths from a flat encoded stream (vectorized)."""
+    lengths = np.diff(offs).astype(np.int32)
+    B = len(lengths)
+    out = np.full((B, pad_len), -1, dtype=np.int8)
+    mask = np.arange(pad_len)[None, :] < lengths[:, None]
+    out[mask] = codes_flat[: offs[-1]]
+    return out, lengths
+
+
+def _run_file_native(sbwt, src: str, out_f) -> tuple[int, float]:
+    """Streaming pipeline: native reader -> device batches -> native
+    formatter, never materializing per-read Python objects."""
+    from .. import native
+
+    k = sbwt.k
+    streaming = sbwt.has_streaming_query_support()
+    n_queries = 0
+    engine_s = 0.0
+    with native.NativeSequenceReader(src) as reader:
+        for codes_flat, offs in reader:
+            lens = np.diff(offs)
+            maxlen = int(lens.max()) if len(lens) else 0
+            L = max(-(-max(maxlen, 1) // _LEN_QUANTUM) * _LEN_QUANTUM, _LEN_QUANTUM)
+            codes, lengths = _padded_from_flat(codes_flat, offs, L)
+            t0 = time.perf_counter()
+            if L < k:
+                ans = np.empty((len(codes), 0), dtype=np.int32)
+            elif streaming:
+                ans = sbwt.streaming_search_batch(codes, lengths)
+            else:
+                ans = _per_kmer_batch(sbwt, codes, lengths)
+            engine_s += time.perf_counter() - t0
+            out_lens = np.maximum(lengths.astype(np.int64) - k + 1, 0)
+            n_queries += int(out_lens.sum())
+            P = ans.shape[1]
+            mask = np.arange(P)[None, :] < out_lens[:, None]
+            vals = ans[mask].astype(np.int64)
+            out_f.write(native.format_ranks(vals, out_lens))
+    return n_queries, engine_s
+
+
 def run_query_files(sbwt, in_files: list[str], out_files: list[str], gzip_output: bool):
     """Full `sbwt search` equivalent over file lists (sbwt_search.cpp:109-141)."""
+    from .. import native
     from .seqio import read_sequences
 
     total_queries = 0
     for src, dst in zip(in_files, out_files):
-        reads = read_sequences(src)
         write_log(
             f"Running {'streaming' if sbwt.has_streaming_query_support() else 'non-streaming'}"
             f" queries from input file {src} to output file {dst}"
         )
-        rows, n_queries, engine_s = run_queries_on_reads(sbwt, reads)
+        out_f = gzip.open(dst, "wb") if gzip_output else open(dst, "wb")
+        try:
+            if native.available():
+                n_queries, engine_s = _run_file_native(sbwt, src, out_f)
+            else:
+                reads = read_sequences(src)
+                rows, n_queries, engine_s = run_queries_on_reads(sbwt, reads)
+                out_f.write(format_answers(rows))
+        finally:
+            out_f.close()
         total_queries += n_queries
-        payload = format_answers(rows)
-        if gzip_output:
-            with gzip.open(dst, "wb") as f:
-                f.write(payload)
-        else:
-            with open(dst, "wb") as f:
-                f.write(payload)
         if n_queries:
             write_log(
                 f"us/query: {engine_s * 1e6 / n_queries} (excluding I/O etc)"

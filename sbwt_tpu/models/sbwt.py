@@ -206,6 +206,14 @@ class SBWT:
             raise ValueError(f"query shorter than k={self.k}")
         return int(self.search_batch(codes[None, :])[0])
 
+    def enable_turbo(self) -> None:
+        """Build the successor-pair turbo table (ops/turbo.py): ~128 B of
+        HBM per column for ~4x the streaming query throughput.  Exact
+        same answers; used automatically by streaming_search_batch."""
+        from ..ops.turbo import build_turbo
+
+        self._turbo = build_turbo(self.device_index)
+
     def streaming_search_batch(
         self, codes: np.ndarray, lengths: np.ndarray | None = None
     ) -> np.ndarray:
@@ -215,6 +223,18 @@ class SBWT:
         B, L = codes.shape
         if lengths is None:
             lengths = np.full(B, L, dtype=np.int32)
+        turbo = getattr(self, "_turbo", None)
+        if turbo is not None:
+            from ..ops.turbo import turbo_streaming_jit
+
+            return np.asarray(
+                turbo_streaming_jit(
+                    turbo,
+                    self.device_index,
+                    jnp.asarray(codes),
+                    jnp.asarray(lengths, dtype=jnp.int32),
+                )
+            )
         return np.asarray(
             _jit_streaming(
                 self.device_index, jnp.asarray(codes), jnp.asarray(lengths, dtype=jnp.int32)

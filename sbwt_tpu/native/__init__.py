@@ -1,0 +1,198 @@
+"""Native (C) runtime components: build-on-demand loader + wrappers.
+
+The compute path is JAX/XLA; the host runtime around it is native where
+the reference's is (SeqIO reader, EM_sort, output formatting — SURVEY.md
+§2.3/§2.4).  The shared library is compiled once with the system g++/cc
+and cached next to the sources; every entry point has a pure-Python
+fallback so the framework works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "_libsbwt_native.so")
+_SRCS = [os.path.join(_DIR, s) for s in ("seqio.c", "emsort.c")]
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "cc", "-O3", "-march=native", "-shared", "-fPIC",
+        *_SRCS, "-o", _SO, "-lz", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.sq_open.restype = ctypes.c_void_p
+        lib.sq_open.argtypes = [ctypes.c_char_p]
+        lib.sq_close.argtypes = [ctypes.c_void_p]
+        lib.sq_read_batch.restype = ctypes.c_int64
+        lib.sq_read_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.sq_format_ranks.restype = ctypes.c_int64
+        lib.sq_format_ranks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.em_sort_u64.restype = ctypes.c_int
+        lib.em_sort_u64.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.em_dedup_count_u64.restype = ctypes.c_int64
+        lib.em_dedup_count_u64.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Streaming encoded reader (native SeqIO)
+# ---------------------------------------------------------------------------
+
+
+class NativeSequenceReader:
+    """Streams FASTA/FASTQ(.gz) records as encoded int8 query-code batches.
+
+    Yields (codes int8 [total], offsets int64 [n+1]) per batch; the
+    encoding matches utils/dna.encode_query.
+    """
+
+    def __init__(self, path: str, batch_bases: int = 1 << 24, batch_reads: int = 1 << 16):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sq_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open sequence file {path!r}")
+        self._codes = np.empty(batch_bases, dtype=np.int8)
+        self._offsets = np.empty(batch_reads + 1, dtype=np.int64)
+        self._batch_reads = batch_reads
+
+    def __iter__(self):
+        while True:
+            n = self._lib.sq_read_batch(
+                self._h,
+                self._codes.ctypes.data,
+                len(self._codes),
+                self._offsets.ctypes.data,
+                self._batch_reads,
+            )
+            if n < 0:
+                raise IOError("sequence read failed (record larger than buffer?)")
+            if n == 0:
+                return
+            offs = self._offsets[: n + 1].copy()
+            yield self._codes[: offs[-1]].copy(), offs
+
+    def close(self):
+        if self._h:
+            self._lib.sq_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def format_ranks(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Rank lines byte-identical to the reference's print_vector
+    (sbwt_search.cpp:21-43): space-separated with trailing space + newline."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if lib is None:
+        out = []
+        for i, ln in enumerate(lens):
+            start = int(lens[:i].sum())
+            parts = [str(int(v)) for v in vals[start : start + int(ln)]]
+            out.append(("".join(p + " " for p in parts)) + "\n")
+        return "".join(out).encode()
+    cap = max(1024, int(vals.size) * 12 + int(lens.size) * 2)
+    buf = ctypes.create_string_buffer(cap)
+    w = lib.sq_format_ranks(
+        vals.ctypes.data, lens.ctypes.data, len(lens), buf, cap
+    )
+    if w < 0:
+        raise RuntimeError("format_ranks: buffer too small")
+    return buf.raw[:w]
+
+
+# ---------------------------------------------------------------------------
+# External-memory sort (EM_sort equivalent)
+# ---------------------------------------------------------------------------
+
+
+def em_sort_u64_file(in_path: str, out_path: str, tmp_dir: str,
+                     ram_bytes: int = 1 << 30, n_threads: int = 4) -> None:
+    lib = get_lib()
+    if lib is None:
+        # pure-python fallback: in-memory numpy sort
+        arr = np.fromfile(in_path, dtype=np.uint64)
+        arr.sort()
+        arr.tofile(out_path)
+        return
+    rc = lib.em_sort_u64(
+        in_path.encode(), out_path.encode(), tmp_dir.encode(),
+        int(ram_bytes), int(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"em_sort_u64 failed with code {rc}")
+
+
+def em_dedup_count_u64_file(in_path: str, out_path: str,
+                            min_abund: int = 1, max_abund: int = 2**62) -> int:
+    lib = get_lib()
+    if lib is None:
+        arr = np.fromfile(in_path, dtype=np.uint64)
+        uniq, counts = np.unique(arr, return_counts=True)
+        keep = (counts >= min_abund) & (counts <= max_abund)
+        uniq[keep].tofile(out_path)
+        return int(keep.sum())
+    kept = lib.em_dedup_count_u64(
+        in_path.encode(), out_path.encode(), int(min_abund), int(max_abund)
+    )
+    if kept < 0:
+        raise RuntimeError("em_dedup_count_u64 failed")
+    return int(kept)

@@ -1,0 +1,282 @@
+/* Multithreaded external-memory sort + dedup/count for packed k-mers.
+ *
+ * Native equivalent of the reference's EM_sort machinery
+ * (src/EM_sort/EM_sort.cpp:49-212: single producer reads blocks, worker
+ * threads sort and spill runs, then <=512-way file merges) specialized to
+ * fixed 8-byte records — exactly what the TPU construction pipeline
+ * needs, since k-mers are packed into uint64 words whose plain integer
+ * order IS colex order (utils/kmers.py; Kmer.hh:108-123).
+ *
+ * Also provides streaming dedup-with-abundance-counting over a sorted
+ * run, replacing KMC's abundance cutoffs (run_kmc.cpp:673-694).
+ *
+ * Exposed via ctypes (see native/__init__.py).
+ */
+#include <pthread.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MAX_WAY 512
+
+/* ------------------------------------------------------------------ */
+/* LSD radix sort (8 passes x 8 bits); returns whichever buffer holds  */
+/* the sorted data                                                     */
+/* ------------------------------------------------------------------ */
+static uint64_t *sort_u64(uint64_t *a, uint64_t *tmp, int64_t n) {
+    uint64_t *src = a, *dst = tmp;
+    for (int pass = 0; pass < 8; pass++) {
+        int shift = pass * 8;
+        int64_t cnt[256] = {0};
+        for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & 255]++;
+        int nonzero = 0; for (int j = 0; j < 256; j++) nonzero += cnt[j] != 0;
+        if (nonzero <= 1) continue;
+        int64_t pos[256]; int64_t s = 0;
+        for (int j = 0; j < 256; j++) { pos[j] = s; s += cnt[j]; }
+        for (int64_t i = 0; i < n; i++) dst[pos[(src[i] >> shift) & 255]++] = src[i];
+        uint64_t *sw = src; src = dst; dst = sw;
+    }
+    return src;
+}
+
+/* ------------------------------------------------------------------ */
+/* worker pool: sort blocks and spill to run files                     */
+/* ------------------------------------------------------------------ */
+typedef struct {
+    uint64_t *data;
+    int64_t n;
+    char path[4096];
+} Job;
+
+typedef struct {
+    Job *jobs;
+    int n_jobs;
+    int next;
+    pthread_mutex_t mu;
+} Pool;
+
+static void *worker(void *arg) {
+    Pool *p = arg;
+    for (;;) {
+        pthread_mutex_lock(&p->mu);
+        int i = p->next < p->n_jobs ? p->next++ : -1;
+        pthread_mutex_unlock(&p->mu);
+        if (i < 0) return NULL;
+        Job *j = &p->jobs[i];
+        uint64_t *tmp = malloc(j->n * sizeof(uint64_t));
+        uint64_t *sorted = sort_u64(j->data, tmp, j->n);
+        FILE *f = fopen(j->path, "wb");
+        fwrite(sorted, sizeof(uint64_t), j->n, f);
+        fclose(f);
+        free(j->data == sorted ? tmp : j->data);
+        free(j->data == sorted ? NULL : tmp);
+        j->data = NULL;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* k-way merge of sorted run files (binary heap of buffered readers)   */
+/* ------------------------------------------------------------------ */
+typedef struct {
+    FILE *f;
+    uint64_t *buf;
+    int64_t len, pos;
+    uint64_t head;
+    int alive;
+} Run;
+
+#define RUNBUF (1 << 16)
+
+static int run_advance(Run *r) {
+    if (++r->pos >= r->len) {
+        r->len = fread(r->buf, sizeof(uint64_t), RUNBUF, r->f);
+        r->pos = 0;
+        if (r->len == 0) { r->alive = 0; return 0; }
+    }
+    r->head = r->buf[r->pos];
+    return 1;
+}
+
+typedef struct { uint64_t key; int run; } HeapItem;
+
+static void heap_down(HeapItem *h, int n, int i) {
+    for (;;) {
+        int l = 2 * i + 1, r = 2 * i + 2, m = i;
+        if (l < n && h[l].key < h[m].key) m = l;
+        if (r < n && h[r].key < h[m].key) m = r;
+        if (m == i) return;
+        HeapItem t = h[i]; h[i] = h[m]; h[m] = t;
+        i = m;
+    }
+}
+
+static int merge_runs(char **paths, int n_runs, const char *out_path) {
+    Run *runs = calloc(n_runs, sizeof(Run));
+    HeapItem *heap = malloc(n_runs * sizeof(HeapItem));
+    int hn = 0;
+    for (int i = 0; i < n_runs; i++) {
+        runs[i].f = fopen(paths[i], "rb");
+        if (!runs[i].f) return -1;
+        runs[i].buf = malloc(RUNBUF * sizeof(uint64_t));
+        runs[i].pos = -1;
+        runs[i].alive = 1;
+        if (run_advance(&runs[i]))
+            heap[hn++] = (HeapItem){runs[i].head, i};
+    }
+    for (int i = hn / 2 - 1; i >= 0; i--) heap_down(heap, hn, i);
+    FILE *out = fopen(out_path, "wb");
+    if (!out) return -1;
+    uint64_t *obuf = malloc(RUNBUF * sizeof(uint64_t));
+    int64_t on = 0;
+    while (hn > 0) {
+        obuf[on++] = heap[0].key;
+        if (on == RUNBUF) { fwrite(obuf, sizeof(uint64_t), on, out); on = 0; }
+        Run *r = &runs[heap[0].run];
+        if (run_advance(r)) heap[0].key = r->head;
+        else heap[0] = heap[--hn];
+        heap_down(heap, hn, 0);
+    }
+    fwrite(obuf, sizeof(uint64_t), on, out);
+    fclose(out);
+    for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].buf); }
+    free(runs); free(heap); free(obuf);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* public API                                                          */
+/* ------------------------------------------------------------------ */
+
+/* Sort a raw file of uint64 records. ram_bytes bounds the total block
+ * memory; n_threads workers sort blocks concurrently. Iterative
+ * <=512-way merge passes (EM_sort.cpp:102-176). Returns 0 on success. */
+int em_sort_u64(const char *in_path, const char *out_path,
+                const char *tmp_dir, int64_t ram_bytes, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    FILE *in = fopen(in_path, "rb");
+    if (!in) return -1;
+    int64_t block = ram_bytes / (2 * n_threads); /* sort needs 2x per block */
+    if (block < (int64_t)(1 << 20)) block = 1 << 20;
+    int64_t block_recs = block / 8;
+
+    Job *jobs = NULL;
+    int n_jobs = 0, cap_jobs = 0;
+    for (;;) {
+        uint64_t *data = malloc(block_recs * sizeof(uint64_t));
+        int64_t n = fread(data, sizeof(uint64_t), block_recs, in);
+        if (n <= 0) { free(data); break; }
+        if (n_jobs == cap_jobs) {
+            cap_jobs = cap_jobs ? cap_jobs * 2 : 16;
+            jobs = realloc(jobs, cap_jobs * sizeof(Job));
+        }
+        Job *j = &jobs[n_jobs];
+        j->data = data;
+        j->n = n;
+        snprintf(j->path, sizeof(j->path), "%s/emsort_run_%d.bin", tmp_dir, n_jobs);
+        n_jobs++;
+        /* bound queued memory: sort eagerly once we have n_threads blocks */
+        if (n_jobs % n_threads == 0) {
+            Pool p = {jobs + n_jobs - n_threads, n_threads, 0,
+                      PTHREAD_MUTEX_INITIALIZER};
+            pthread_t th[256];
+            int nt = n_threads > 256 ? 256 : n_threads;
+            for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
+            for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+        }
+    }
+    fclose(in);
+    /* sort the tail blocks */
+    int tail = n_jobs % n_threads;
+    if (tail) {
+        Pool p = {jobs + n_jobs - tail, tail, 0, PTHREAD_MUTEX_INITIALIZER};
+        pthread_t th[256];
+        int nt = tail > 256 ? 256 : tail;
+        for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
+        for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+    }
+    if (n_jobs == 0) { /* empty input -> empty output */
+        FILE *out = fopen(out_path, "wb");
+        if (!out) { free(jobs); return -1; }
+        fclose(out);
+        free(jobs);
+        return 0;
+    }
+
+    /* iterative merge passes */
+    char **cur = malloc(n_jobs * sizeof(char *));
+    for (int i = 0; i < n_jobs; i++) cur[i] = strdup(jobs[i].path);
+    int n_cur = n_jobs, gen = 0;
+    free(jobs);
+    while (n_cur > 1) {
+        int n_next = (n_cur + MAX_WAY - 1) / MAX_WAY;
+        char **next = malloc(n_next * sizeof(char *));
+        for (int g = 0; g < n_next; g++) {
+            int lo = g * MAX_WAY;
+            int hi = lo + MAX_WAY < n_cur ? lo + MAX_WAY : n_cur;
+            char path[4096];
+            snprintf(path, sizeof(path), "%s/emsort_merge_%d_%d.bin", tmp_dir,
+                     gen, g);
+            if (merge_runs(cur + lo, hi - lo, path)) return -1;
+            next[g] = strdup(path);
+            for (int i = lo; i < hi; i++) { remove(cur[i]); free(cur[i]); }
+        }
+        free(cur);
+        cur = next;
+        n_cur = n_next;
+        gen++;
+    }
+    remove(out_path);
+    if (rename(cur[0], out_path)) {
+        /* cross-device: fall back to copy */
+        FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
+        if (!a || !b) return -1;
+        char buf[1 << 16]; size_t n;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
+        fclose(a); fclose(b);
+        remove(cur[0]);
+    }
+    free(cur[0]); free(cur);
+    return 0;
+}
+
+/* Streaming dedup over a sorted u64 file with abundance filtering:
+ * keep values occurring in [min_abund, max_abund] times
+ * (KMC cutoff semantics, run_kmc.cpp:673-694).  Returns the number of
+ * distinct kept values, or -1 on error. */
+int64_t em_dedup_count_u64(const char *in_path, const char *out_path,
+                           int64_t min_abund, int64_t max_abund) {
+    FILE *in = fopen(in_path, "rb");
+    if (!in) return -1;
+    FILE *out = fopen(out_path, "wb");
+    if (!out) { fclose(in); return -1; }
+    uint64_t *ibuf = malloc(RUNBUF * sizeof(uint64_t));
+    uint64_t *obuf = malloc(RUNBUF * sizeof(uint64_t));
+    int64_t on = 0, kept = 0;
+    uint64_t cur = 0;
+    int64_t count = 0;
+    int have = 0;
+    for (;;) {
+        int64_t n = fread(ibuf, sizeof(uint64_t), RUNBUF, in);
+        if (n <= 0) break;
+        for (int64_t i = 0; i < n; i++) {
+            if (have && ibuf[i] == cur) { count++; continue; }
+            if (have && count >= min_abund && count <= max_abund) {
+                obuf[on++] = cur;
+                kept++;
+                if (on == RUNBUF) { fwrite(obuf, 8, on, out); on = 0; }
+            }
+            cur = ibuf[i];
+            count = 1;
+            have = 1;
+        }
+    }
+    if (have && count >= min_abund && count <= max_abund) {
+        obuf[on++] = cur;
+        kept++;
+    }
+    fwrite(obuf, 8, on, out);
+    free(ibuf); free(obuf);
+    fclose(in); fclose(out);
+    return kept;
+}

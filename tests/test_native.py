@@ -1,0 +1,114 @@
+"""Native C components: reader/encoder, formatter, external-memory sort.
+
+Differential tests against the pure-Python implementations (io/seqio.py,
+utils/dna.py, numpy sort), mirroring the reference's EM_sort oracle
+strategy (tests/test_EM_sort.hh:110-163: random files across record
+counts and RAM budgets, byte-compared against an in-memory sort).
+"""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from sbwt_tpu import native
+from sbwt_tpu.io import seqio
+from sbwt_tpu.utils.dna import encode_query
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C toolchain for native components"
+)
+
+
+def _write_fasta(path, seqs, gz=False, linewrap=None):
+    op = gzip.open if gz else open
+    with op(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">seq{i} header stuff\n")
+            if linewrap:
+                for j in range(0, len(s), linewrap):
+                    f.write(s[j : j + linewrap] + "\n")
+            else:
+                f.write(s + "\n")
+
+
+def _write_fastq(path, seqs, gz=False):
+    op = gzip.open if gz else open
+    with op(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+
+def _read_all_native(path):
+    reads = []
+    with native.NativeSequenceReader(path, batch_bases=1 << 14, batch_reads=64) as r:
+        for codes, offs in r:
+            for i in range(len(offs) - 1):
+                reads.append(codes[offs[i] : offs[i + 1]].copy())
+    return reads
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("wrap", [None, 10])
+def test_native_fasta_reader(tmp_path, gz, wrap):
+    rng = np.random.default_rng(1)
+    seqs = [
+        "".join(rng.choice(list("ACGTacgtNn"), size=int(n)))
+        for n in rng.integers(1, 300, size=37)
+    ]
+    path = str(tmp_path / ("x.fna" + (".gz" if gz else "")))
+    _write_fasta(path, seqs, gz, wrap)
+    got = _read_all_native(path)
+    assert len(got) == len(seqs)
+    for g, s in zip(got, seqs):
+        np.testing.assert_array_equal(g, encode_query(s))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_native_fastq_reader(tmp_path, gz):
+    rng = np.random.default_rng(2)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), size=int(n)))
+        for n in rng.integers(1, 200, size=53)
+    ]
+    path = str(tmp_path / ("x.fq" + (".gz" if gz else "")))
+    _write_fastq(path, seqs, gz)
+    got = _read_all_native(path)
+    assert len(got) == len(seqs)
+    for g, s in zip(got, seqs):
+        np.testing.assert_array_equal(g, encode_query(s))
+
+
+def test_format_ranks_matches_reference_format():
+    vals = np.array([3372, -1, 0, 523, 99], dtype=np.int64)
+    lens = np.array([3, 2], dtype=np.int64)
+    out = native.format_ranks(vals, lens)
+    assert out == b"3372 -1 0 \n523 99 \n"
+
+
+def test_em_sort_random_files(tmp_path):
+    rng = np.random.default_rng(3)
+    for n, ram in [(0, 1 << 20), (1, 1 << 20), (100000, 1 << 20), (500000, 1 << 21)]:
+        arr = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        inp = str(tmp_path / "in.bin")
+        outp = str(tmp_path / "out.bin")
+        arr.tofile(inp)
+        native.em_sort_u64_file(inp, outp, str(tmp_path), ram_bytes=ram, n_threads=3)
+        got = np.fromfile(outp, dtype=np.uint64)
+        np.testing.assert_array_equal(got, np.sort(arr))
+
+
+def test_em_dedup_count(tmp_path):
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 50, size=10000, dtype=np.uint64)
+    arr.sort()
+    inp = str(tmp_path / "s.bin")
+    outp = str(tmp_path / "d.bin")
+    arr.tofile(inp)
+    uniq, counts = np.unique(arr, return_counts=True)
+    for lo, hi in [(1, 2**62), (150, 2**62), (1, 200), (180, 220)]:
+        kept = native.em_dedup_count_u64_file(inp, outp, lo, hi)
+        expect = uniq[(counts >= lo) & (counts <= hi)]
+        got = np.fromfile(outp, dtype=np.uint64)
+        np.testing.assert_array_equal(got, expect)
+        assert kept == len(expect)

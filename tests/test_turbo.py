@@ -1,0 +1,109 @@
+"""Turbo engine: exact output equality with the LF engines.
+
+The successor-pair table (ops/turbo.py) must reproduce per-k-mer search
+and streaming search bit-for-bit, including the reference's corner
+semantics: lowercase valid in streaming extension but not in search
+restarts (SBWT.hh:426-427 vs 565-566), N/invalid characters, absent
+k-mers, and non-singleton precalc seeds.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sbwt_tpu.models.sbwt import SBWT
+from sbwt_tpu.ops.turbo import build_turbo, fast_search_jit, turbo_streaming_jit
+from sbwt_tpu.utils.dna import encode_query
+
+
+def _mk(seqs, k, p):
+    return SBWT.build(seqs, k, precalc_k=p)
+
+
+@pytest.fixture(scope="module")
+def sb():
+    rng = np.random.default_rng(17)
+    seqs = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(2)]
+    # add a repetitive sequence so some precalc seeds are non-singleton
+    seqs.append("ACGT" * 100)
+    # p = 7 > log4(n): most seeds are singletons or empty, which is the
+    # regime the fast path is designed for (the repetitive sequence still
+    # produces non-singleton seeds to exercise the LF fallback)
+    return _mk(seqs, 12, 7)
+
+
+@pytest.fixture(scope="module")
+def turbo(sb):
+    return build_turbo(sb.device_index)
+
+
+def test_fast_search_matches_search(sb, turbo):
+    rng = np.random.default_rng(0)
+    # mix of present and absent k-mers
+    txt = "".join(rng.choice(list("ACGT"), size=4000))
+    wins = [txt[i : i + sb.k] for i in range(0, 3000, 7)]
+    codes = np.stack([encode_query(w) for w in wins]).astype(np.int32)
+    expected = sb.search_batch(codes)
+    ans, slow = fast_search_jit(turbo, jnp.asarray(codes))
+    ans, slow = np.asarray(ans), np.asarray(slow)
+    # where the fast path resolved, answers must match exactly
+    np.testing.assert_array_equal(ans[~slow], expected[~slow])
+    # and the slow set should be a small minority
+    assert slow.mean() < 0.5
+
+
+def test_turbo_streaming_equals_lf_streaming(sb, turbo):
+    rng = np.random.default_rng(1)
+    reads = []
+    src = "".join(rng.choice(list("ACGT"), size=2000))
+    for i in range(6):
+        reads.append(src[i * 53 : i * 53 + 64])
+    for _ in range(6):  # absent-heavy
+        reads.append("".join(rng.choice(list("ACGT"), size=64)))
+    reads.append("ACGT" * 16)  # repetitive: non-singleton seeds
+    reads.append("ACGTNNNNACGTACGTACGTNNACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTT")
+    reads.append("acgtACGTacgtACGTacgtACGTacgtACGTacgtACGTacgtACGTacgtACGTacgtACGT"[:64])
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), -1, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_query(r)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+
+    ref = sb.streaming_search_batch(codes, lengths)
+    got = np.asarray(
+        turbo_streaming_jit(
+            turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_enable_turbo_api(sb):
+    rng = np.random.default_rng(2)
+    read = "".join(rng.choice(list("ACGT"), size=80))
+    base = sb.streaming_search(read)
+    sb2 = SBWT.build(
+        ["".join(rng.choice(list("ACGT"), size=800))], 12, precalc_k=4
+    )
+    del sb2
+    sb.enable_turbo()
+    try:
+        assert sb.streaming_search(read) == base
+    finally:
+        sb._turbo = None
+
+
+@pytest.mark.parametrize("k,p", [(8, 8), (9, 4), (16, 7)])
+def test_turbo_odd_tail_lengths(k, p):
+    """k - p odd and k == p exercise the single-step tail."""
+    rng = np.random.default_rng(k * 10 + p)
+    sb = _mk(["".join(rng.choice(list("ACGT"), size=600))], k, p)
+    turbo = build_turbo(sb.device_index)
+    reads = ["".join(rng.choice(list("ACGT"), size=k + 11)) for _ in range(8)]
+    src = "".join(rng.choice(list("ACGT"), size=600))
+    codes = np.stack([encode_query(r) for r in reads]).astype(np.int32)
+    lengths = np.full(len(reads), codes.shape[1], dtype=np.int32)
+    ref = sb.streaming_search_batch(codes, lengths)
+    got = np.asarray(
+        turbo_streaming_jit(turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths))
+    )
+    np.testing.assert_array_equal(got, ref)
