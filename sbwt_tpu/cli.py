@@ -92,6 +92,9 @@ def build_main(argv) -> int:
         min_abundance=args.min_abundance,
         max_abundance=args.max_abundance if args.max_abundance < 10**9 else None,
         variant=args.variant,
+        ram_bytes=args.ram_gigas << 30,
+        n_threads=args.n_threads,
+        temp_dir=args.temp_dir,
     )
     write_log(f"Built SBWT for {sbwt.number_of_kmers()} distinct k-mers")
     write_log(f"SBWT has {sbwt.number_of_subsets()} subsets")
@@ -113,6 +116,10 @@ def search_main(argv) -> int:
     p.add_argument("-i", "--index-file", required=True)
     p.add_argument("-q", "--query-file", required=True)
     p.add_argument("-z", "--gzip-output", action="store_true")
+    p.add_argument("--engine", choices=["auto", "lf", "turbo"], default="auto",
+                   help="query engine: LF rank engine, or the successor-pair "
+                        "turbo table (~128 B HBM per column; auto enables it "
+                        "for plain-matrix indexes up to 16M columns)")
     args = p.parse_args(argv)
 
     t_start = time.perf_counter()
@@ -131,6 +138,18 @@ def search_main(argv) -> int:
 
     sbwt = load(args.index_file)
     write_log(f"Loaded the index variant {sbwt.variant}")
+    want_turbo = args.engine == "turbo" or (
+        args.engine == "auto"
+        and sbwt.variant == "plain-matrix"
+        and sbwt.has_streaming_query_support()
+        and sbwt.number_of_subsets() <= 16_000_000  # ~2 GB pair table
+    )
+    if want_turbo:
+        try:
+            sbwt.enable_turbo()
+            write_log("Turbo successor-pair engine enabled")
+        except Exception as e:  # fall back to the LF engine
+            write_log(f"Turbo engine unavailable ({e}); using LF engine")
     n = run_query_files(sbwt, in_files, out_files, args.gzip_output)
     total = time.perf_counter() - t_start
     if n:

@@ -1,0 +1,83 @@
+"""Out-of-core SBWT construction for inputs larger than RAM.
+
+Replaces the reference's KMC + EM-sort pipeline (include/sbwt/
+kmc_construct.hh:206-238, src/run_kmc.cpp:655-735, src/EM_sort/): the
+k-mer multiset is spilled to disk as packed uint64 records (word order ==
+colex order, utils/kmers.py), sorted by the native multithreaded
+external-memory sorter (native/emsort.c), deduplicated with abundance
+cutoffs in one streaming pass, and the *distinct* set — orders of
+magnitude smaller than the input for real genome collections — is built
+into the bit matrix by the vectorized in-memory constructor.
+
+This bounds peak RAM by the distinct-kmer count rather than the input
+size, which is the same guarantee KMC gives the reference.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import native
+from ..utils import kmers as km
+from ..utils.dna import encode
+from ..utils.logging import write_log
+from ..utils.tempfiles import get_temp_file_manager
+from .inmemory import BuiltSBWT, build_from_kmers
+
+
+def _iter_code_chunks(seqs, add_reverse_complements=False):
+    from .inmemory import encode_rc
+
+    for s in seqs:
+        codes = s if isinstance(s, np.ndarray) else encode(s)
+        yield codes
+        if add_reverse_complements:
+            yield encode_rc(codes)
+
+
+def build_sbwt_external(
+    seqs,
+    k: int,
+    streaming_support: bool = True,
+    min_abundance: int = 1,
+    max_abundance: int | None = None,
+    add_reverse_complements: bool = False,
+    ram_bytes: int = 2 << 30,
+    n_threads: int = 4,
+    temp_dir: str | None = None,
+) -> BuiltSBWT:
+    """Disk-backed construction; same result as construct.inmemory.build_sbwt."""
+    tfm = get_temp_file_manager()
+    if temp_dir is not None:
+        tfm.set_dir(temp_dir)
+    raw = tfm.create_filename("kmers_", ".bin")
+    sorted_f = tfm.create_filename("kmers_sorted_", ".bin")
+    distinct_f = tfm.create_filename("kmers_distinct_", ".bin")
+
+    n_windows = 0
+    with open(raw, "wb") as f:
+        for codes in _iter_code_chunks(seqs, add_reverse_complements):
+            vals, valid = km.pack_windows(codes, k)
+            if vals.size:
+                kept = np.ascontiguousarray(vals[valid])
+                kept.tofile(f)
+                n_windows += len(kept)
+    write_log(f"external build: spilled {n_windows} k-mer records")
+
+    native.em_sort_u64_file(
+        raw, sorted_f, tfm.get_dir(), ram_bytes=ram_bytes, n_threads=n_threads
+    )
+    tfm.delete_file(raw)
+    n_distinct = native.em_dedup_count_u64_file(
+        sorted_f,
+        distinct_f,
+        min_abund=min_abundance,
+        max_abund=max_abundance if max_abundance is not None else 2**62,
+    )
+    tfm.delete_file(sorted_f)
+    write_log(f"external build: {n_distinct} distinct k-mers after cutoffs")
+
+    kmer_vals = np.fromfile(distinct_f, dtype=np.uint64)
+    tfm.delete_file(distinct_f)
+    return build_from_kmers(kmer_vals, k, streaming_support)

@@ -154,15 +154,41 @@ class SBWT:
         max_abundance: int | None = None,
         add_reverse_complements: bool = False,
         variant: str = "plain-matrix",
+        method: str = "auto",
+        ram_bytes: int = 2 << 30,
+        n_threads: int = 4,
+        temp_dir: str | None = None,
     ):
-        built = build_sbwt(
-            seqs,
-            k,
-            streaming_support=streaming_support,
-            min_abundance=min_abundance,
-            max_abundance=max_abundance,
-            add_reverse_complements=add_reverse_complements,
-        )
+        """Construct from sequences.  method: 'memory' (vectorized in-RAM),
+        'external' (native EM-sort pipeline, construct/external.py), or
+        'auto' (external when the k-mer record spill would exceed half the
+        RAM budget — the reference always goes through KMC+disk)."""
+        if method == "auto":
+            est = sum(len(s) for s in seqs) * 8 * (2 if add_reverse_complements else 1)
+            method = "external" if est > ram_bytes // 2 else "memory"
+        if method == "external":
+            from ..construct.external import build_sbwt_external
+
+            built = build_sbwt_external(
+                seqs,
+                k,
+                streaming_support=streaming_support,
+                min_abundance=min_abundance,
+                max_abundance=max_abundance,
+                add_reverse_complements=add_reverse_complements,
+                ram_bytes=ram_bytes,
+                n_threads=n_threads,
+                temp_dir=temp_dir,
+            )
+        else:
+            built = build_sbwt(
+                seqs,
+                k,
+                streaming_support=streaming_support,
+                min_abundance=min_abundance,
+                max_abundance=max_abundance,
+                add_reverse_complements=add_reverse_complements,
+            )
         return cls.from_built(built, precalc_k, variant)
 
     # ---- metadata (SBWT.hh accessors) --------------------------------
