@@ -18,26 +18,34 @@ import time
 import numpy as np
 
 
-def make_corpus(genome_mbp: float = 4.0, seed: int = 20260817) -> str:
+def make_corpus_codes(genome_mbp: float = 4.0, seed: int = 20260817) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = int(genome_mbp * 1e6)
-    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes().decode()
+    return rng.integers(0, 4, size=n, dtype=np.int8)
 
 
-def sample_reads(genome: str, n_reads: int, read_len: int, seed: int = 1):
+def sample_read_codes(genome_codes: np.ndarray, n_reads: int, read_len: int, seed: int = 1):
+    """Vectorized read sampling: [n_reads, read_len] int8 windows of the
+    genome; ~2% replaced by random reads (absent k-mers) to exercise the
+    restart path, like real sequencing data with errors."""
     rng = np.random.default_rng(seed)
-    starts = rng.integers(0, len(genome) - read_len, size=n_reads)
-    reads = [genome[s : s + read_len] for s in starts]
-    # ~2% of reads are random (absent k-mers) to exercise the restart path,
-    # like real sequencing data with errors.
+    starts = rng.integers(0, len(genome_codes) - read_len, size=n_reads)
+    codes = genome_codes[starts[:, None] + np.arange(read_len)]
     n_rand = max(1, n_reads // 50)
-    for i in rng.integers(0, n_reads, size=n_rand):
-        reads[int(i)] = "".join(rng.choice(list("ACGT"), size=read_len))
-    return reads
+    rand_rows = rng.integers(0, n_reads, size=n_rand)
+    codes[rand_rows] = rng.integers(0, 4, size=(n_rand, read_len), dtype=np.int8)
+    return codes
 
 
 def main():
     import jax
+
+    # Persistent compile cache: the remote TPU compile of the streaming
+    # program is minutes-slow; repeat runs (and the driver's bench run)
+    # hit the cache instead.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from sbwt_tpu.models.sbwt import SBWT
@@ -49,13 +57,13 @@ def main():
 
     k = 30
     read_len = 100
-    n_reads = 262144
-    genome = make_corpus()
-    write_log(f"bench: building k={k} index over {len(genome)/1e6:.1f} Mbp")
+    n_reads = 1 << 20  # 1M reads: enough lanes to saturate the gather units
+    genome_codes = make_corpus_codes()
+    write_log(f"bench: building k={k} index over {len(genome_codes)/1e6:.1f} Mbp")
     t0 = time.perf_counter()
     # p=12 > log4(n): precalc seeds are singletons/empty, which makes the
     # turbo fast path cover essentially all restarts
-    sbwt = SBWT.build([genome], k, precalc_k=12)
+    sbwt = SBWT.build([genome_codes], k, precalc_k=12)
     build_s = time.perf_counter() - t0
     write_log(
         f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "
@@ -66,28 +74,26 @@ def main():
     jax.block_until_ready(turbo.pair_tbl)
     write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
 
-    reads = sample_reads(genome, n_reads, read_len)
-    codes = np.stack([encode_query(s) for s in reads]).astype(np.int8)
+    codes = sample_read_codes(genome_codes, n_reads, read_len)
     lengths = np.full(n_reads, read_len, dtype=np.int32)
     codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)
     queries_per_batch = n_reads * (read_len - k + 1)
 
-    # compile + warmup
+    # compile + warmup (hit-rate reduced on device; fetching the full
+    # answer matrix through the device tunnel would swamp the timing)
     out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
-    jax.block_until_ready(out)
-
-    n_found = int((np.asarray(out) >= 0).sum())
-    write_log(
-        f"bench: {queries_per_batch} queries/batch, hit rate "
-        f"{n_found / queries_per_batch:.3f}"
-    )
+    hit = float(jnp.mean((out >= 0).astype(jnp.float32)))
+    write_log(f"bench: {queries_per_batch} queries/batch, hit rate {hit:.3f}")
 
     reps = 5
     t0 = time.perf_counter()
+    acc = 0
     for _ in range(reps):
         out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
-    jax.block_until_ready(out)
+        # device-side reduction + scalar fetch: forces full completion of
+        # every rep (block_until_ready alone is unreliable on this backend)
+        acc += int(jnp.sum(out))
     dt = time.perf_counter() - t0
     qps = queries_per_batch * reps / dt
 

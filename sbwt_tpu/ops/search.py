@@ -30,6 +30,21 @@ from jax import lax
 _ONE = np.uint32(1)
 
 
+def compact_indices(mask):
+    """Indices of True entries, compacted to the front; tail filled with
+    len(mask) (a drop sentinel).  cumsum+scatter instead of jnp.nonzero,
+    whose size= path lowers to a full sort on TPU.  Returns (work, count)."""
+    mask = mask.ravel()
+    total = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = pos[-1] + 1 if total else jnp.int32(0)
+    dest = jnp.where(mask, pos, total)
+    work = jnp.full(total + 1, total, dtype=jnp.int32)
+    src = jnp.arange(total, dtype=jnp.int32)
+    work = work.at[dest].set(src, mode="drop")
+    return work[:total], count
+
+
 def lf_step(index, l, r, c, alive):
     """One LF iteration on intervals [l, r] for character codes c (SBWT.hh:430-433)."""
     Cc = index.C[c]
@@ -172,11 +187,10 @@ def streaming_search(index, codes, lengths=None, chunk=4096, sync_axes=None):
         unresolved = unresolved & pos_ok
 
     flat_mask = unresolved.ravel()
-    count = jnp.sum(flat_mask.astype(jnp.int32))
     total = B * P
     chunk = min(chunk, total)
     # Compact the unresolved flat positions; fill with `total` (dropped on scatter).
-    work = jnp.nonzero(flat_mask, size=total, fill_value=total)[0].astype(jnp.int32)
+    work, count = compact_indices(flat_mask)
 
     codes_flat = codes.ravel().astype(jnp.int32)
     karange = jnp.arange(k, dtype=jnp.int32)

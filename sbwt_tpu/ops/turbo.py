@@ -172,7 +172,7 @@ def turbo_streaming_search(
     index,
     codes,
     lengths=None,
-    chunk_fast=32768,
+    chunk_lanes=8192,
     chunk_slow=4096,
 ):
     """Exact streaming search via the successor-pair table.
@@ -182,7 +182,7 @@ def turbo_streaming_search(
     position.  `index` is the base device index, used only for the rare
     exact-LF fallback lanes.
     """
-    from .search import search_batch
+    from .search import compact_indices, search_batch
 
     B, L = codes.shape
     k, p = turbo.k, turbo.precalc_k
@@ -194,8 +194,7 @@ def turbo_streaming_search(
     ans0, slow0 = fast_search(turbo, codes[:, :k])
     # exact fallback for non-singleton seeds at position 0 (must resolve
     # before the chain can start)
-    n_slow0 = jnp.sum(slow0.astype(jnp.int32))
-    work0 = jnp.nonzero(slow0, size=B, fill_value=B)[0].astype(jnp.int32)
+    work0, n_slow0 = compact_indices(slow0)
 
     def body0(i, a0):
         sel = lax.dynamic_slice(work0, (i * chunk_slow,), (min(chunk_slow, B),))
@@ -229,6 +228,10 @@ def turbo_streaming_search(
         ans = ans0[:, None]
 
     # ---- restarts: positions whose predecessor is -1 -------------------
+    # Patching is per DIRTY LANE (a read with any restart), not per flat
+    # position: compaction runs over B lanes instead of B*P positions, and
+    # the k-char windows come from the lane's own row (sliding slices) so
+    # no per-position window gathers are needed.
     unresolved = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), ans[:, :-1] == -1], axis=1
     )
@@ -236,49 +239,69 @@ def turbo_streaming_search(
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
         unresolved = unresolved & pos_ok
 
-    flat = unresolved.ravel()
-    count = jnp.sum(flat.astype(jnp.int32))
-    chunk_fast = min(chunk_fast, total)
-    work = jnp.nonzero(flat, size=total, fill_value=total)[0].astype(jnp.int32)
-    codes_flat = codes.ravel()
+    dirty = jnp.any(unresolved, axis=1)  # [B]
+    lanes_work, n_dirty = compact_indices(dirty)
+    Cn = min(chunk_lanes, B)
+    weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
     karange = jnp.arange(k, dtype=jnp.int32)
-    ans_flat = ans.ravel()
-    slow_flat = jnp.zeros(total + 1, dtype=bool)
+    chunk_slow = min(chunk_slow, Cn * P)
 
-    def body1(i, carry):
-        a, s = carry
-        sel = lax.dynamic_slice(work, (i * chunk_fast,), (chunk_fast,))
-        lane = jnp.clip(sel, 0, total - 1) // P
-        pos = jnp.clip(sel, 0, total - 1) % P
-        base = lane * L + pos
-        win = codes_flat[jnp.clip(base[:, None] + karange[None, :], 0, B * L - 1)]
-        res, needs_slow = fast_search(turbo, win)
-        a = a.at[sel].set(res, mode="drop")
-        s = s.at[jnp.where(needs_slow, sel, total)].set(True, mode="drop")
-        return a, s
+    def lane_body(i, a):
+        lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
+        safe = jnp.clip(lanes, 0, B - 1)
+        rows = codes[safe]  # [Cn, L] row gather
+        un = unresolved[safe] & (lanes[:, None] < B)  # [Cn, P]
+        # per-position search validity: all k chars in 0..3
+        ok = (rows >= 0) & (rows < 4)  # [Cn, L]
+        okc = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+        okc = jnp.concatenate([jnp.zeros((Cn, 1), jnp.int32), okc], axis=1)
+        vwin = (okc[:, k:] - okc[:, :-k]) == k  # [Cn, P]
+        cc = jnp.clip(rows, 0) & 3
+        # precalc seed index per position: sum_j cc[i+j] << 2j
+        pidx = jnp.zeros((Cn, P), dtype=jnp.int32)
+        for j in range(p):
+            pidx = pidx + cc[:, j : j + P] * weights[j]
+        seed = turbo.precalc[pidx]  # [Cn, P, 2]
+        l, r = seed[..., 0], seed[..., 1]
+        dead = (l < 0) | ~vwin
+        singleton = l == r
+        needs_slow = ~dead & ~singleton & un
+        col = jnp.where(dead, -1, l)
+        rem = k - p
+        tv = jnp.ones_like(col, dtype=bool)
+        for j in range(0, rem - 1, 2):
+            c1 = rows[:, p + j : p + j + P]
+            c2 = rows[:, p + j + 1 : p + j + 1 + P]
+            _, col = _pair_step(turbo, col, jnp.clip(c1, 0) & 3,
+                                jnp.clip(c2, 0) & 3, tv, tv)
+        if rem % 2 == 1:
+            clast = rows[:, k - 1 : k - 1 + P]
+            col, _ = _pair_step(turbo, col, jnp.clip(clast, 0) & 3,
+                                jnp.zeros_like(col), tv, tv)
+        # fast results at unresolved non-slow positions; keep the rest
+        new_rows = jnp.where(un & ~needs_slow, col, a[safe])
 
-    n1 = (count + chunk_fast - 1) // chunk_fast
-    ans_flat, slow_flat = lax.fori_loop(0, n1, body1, (ans_flat, slow_flat))
+        # exact LF fallback for this chunk's non-singleton seeds, right
+        # here (bounded by the chunk, so no global slow buffer to overflow)
+        sw, sc = compact_indices(needs_slow)  # flat over Cn*P
+        rows_flat = rows.ravel()
 
-    # ---- exact LF fallback for non-singleton seeds ---------------------
-    slow_flat = slow_flat[:total]
-    n_slow = jnp.sum(slow_flat.astype(jnp.int32))
-    chunk_slow2 = min(chunk_slow, total)
-    work2 = jnp.nonzero(slow_flat, size=total, fill_value=total)[0].astype(jnp.int32)
+        def slow_body(t, nr):
+            sel = lax.dynamic_slice(sw, (t * chunk_slow,), (chunk_slow,))
+            lane_of = jnp.clip(sel, 0, Cn * P - 1) // P
+            pos_of = jnp.clip(sel, 0, Cn * P - 1) % P
+            base = lane_of * L + pos_of
+            win = rows_flat[jnp.clip(base[:, None] + karange[None, :], 0, Cn * L - 1)]
+            res = search_batch(index, win)
+            return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
-    def body2(i, a):
-        sel = lax.dynamic_slice(work2, (i * chunk_slow2,), (chunk_slow2,))
-        lane = jnp.clip(sel, 0, total - 1) // P
-        pos = jnp.clip(sel, 0, total - 1) % P
-        base = lane * L + pos
-        win = codes_flat[jnp.clip(base[:, None] + karange[None, :], 0, B * L - 1)]
-        res = search_batch(index, win)
-        return a.at[sel].set(res, mode="drop")
+        n_st = (sc + chunk_slow - 1) // chunk_slow
+        new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
+        return a.at[lanes].set(new_rows, mode="drop")
 
-    n2 = (n_slow + chunk_slow2 - 1) // chunk_slow2
-    ans_flat = lax.fori_loop(0, n2, body2, ans_flat)
+    n_lane_iters = (n_dirty + Cn - 1) // Cn
+    ans = lax.fori_loop(0, n_lane_iters, lane_body, ans)
 
-    ans = ans_flat.reshape(B, P)
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
         ans = jnp.where(pos_ok, ans, -1)

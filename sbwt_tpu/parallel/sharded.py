@@ -70,6 +70,33 @@ def dp_search(index: MatrixIndex, codes, mesh: Mesh):
     return fn(index, codes)
 
 
+def dp_turbo_streaming_search(turbo, index, codes, lengths, mesh: Mesh):
+    """Turbo streaming search with reads sharded over `data` and the
+    successor-pair table replicated.  shard_map (not sharding-annotated
+    jit) so each device's restart-patch loop runs its own trip count with
+    no cross-device synchronization — the turbo path has no collectives.
+    """
+    from ..ops.turbo import turbo_streaming_search
+
+    def body(turbo_l, index_l, codes_l, lengths_l):
+        return turbo_streaming_search(turbo_l, index_l, codes_l, lengths_l)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data", None), P("data")),
+            out_specs=P("data", None),
+        )
+    )
+    repl = NamedSharding(mesh, P())
+    turbo = jax.tree.map(lambda x: jax.device_put(x, repl), turbo)
+    index = jax.tree.map(lambda x: jax.device_put(x, repl), index)
+    codes = jax.device_put(codes, NamedSharding(mesh, P("data", None)))
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    return fn(turbo, index, codes, lengths)
+
+
 # ---------------------------------------------------------------------------
 # Tensor parallelism: row-sharded rank tables
 # ---------------------------------------------------------------------------

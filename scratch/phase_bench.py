@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 import jax

@@ -80,3 +80,23 @@ def test_tp_streaming_matches_single_device(sbwt, batch):
         sharded.tp_streaming_search(sbwt.device_index, codes, lengths, mesh)
     )
     assert np.array_equal(got, want)
+
+
+def test_dp_turbo_matches_single_device(sbwt, batch):
+    import jax.numpy as jnp
+    from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+
+    codes, lengths = batch
+    turbo = build_turbo(sbwt.device_index)
+    expected = np.asarray(
+        turbo_streaming_jit(
+            turbo, sbwt.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    mesh = sharded.make_mesh(n_data=8, n_model=1)
+    got = np.asarray(
+        sharded.dp_turbo_streaming_search(
+            turbo, sbwt.device_index, codes, lengths, mesh
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
