@@ -14,7 +14,7 @@ import numpy as np
 
 from .utils.logging import LogLevel, set_log_level, write_log
 
-MAX_KMER_LENGTH = 32
+MAX_KMER_LENGTH = 255  # the reference's compile-time ceiling (CMakeLists.txt:71-81)
 
 
 def _readlines(path: str) -> list[str]:

@@ -205,6 +205,134 @@ def build_from_kmers(kmer_vals: np.ndarray, k: int, streaming_support: bool = Tr
     )
 
 
+def _distinct_kmers_wide(
+    seqs, k: int, min_abundance: int = 1, max_abundance: int | None = None
+) -> np.ndarray:
+    """Wide (k > 32) variant of _distinct_kmers: [n, W] uint64 rows."""
+    from ..utils import kmers_wide as kw
+
+    chunks = []
+    for s in seqs:
+        codes = s if isinstance(s, np.ndarray) else encode(s)
+        vals, valid = kw.pack_windows(codes, k)
+        if vals.size:
+            chunks.append(vals[valid])
+    if not chunks:
+        return np.empty((0, kw.n_words(k)), dtype=_U64)
+    allv = np.concatenate(chunks)
+    uniq, counts = kw.unique_rows_sorted(allv)
+    keep = counts >= min_abundance
+    if max_abundance is not None:
+        keep &= counts <= max_abundance
+    return uniq[keep]
+
+
+def build_from_kmers_wide(
+    kmer_vals: np.ndarray, k: int, streaming_support: bool = True
+) -> BuiltSBWT:
+    """Wide (k > 32) build_from_kmers: same algorithm over [n, W] rows.
+
+    Mirrors kmc_construct.hh:102-238 exactly like the single-word path;
+    only the packed representation and its compare/search primitives
+    change (utils/kmers_wide.py)."""
+    from ..utils import kmers_wide as kw
+
+    W = kw.n_words(k)
+    kmer_vals = np.asarray(kmer_vals, dtype=_U64).reshape(-1, W)
+    n = len(kmer_vals)
+
+    if n == 0:
+        bits = np.zeros((4, 1), dtype=bool)
+        sgs = np.ones(1, dtype=bool) if streaming_support else np.empty(0, dtype=bool)
+        return BuiltSBWT(
+            bits=bits,
+            suffix_group_starts=sgs,
+            k=k,
+            n_kmers=0,
+            node_vals=np.zeros((1, W), dtype=_U64),
+            node_lens=np.zeros(1, dtype=np.uint8),
+        )
+
+    # --- suffix groups among the k-mers -------------------------------
+    suffixes = kw.drop_first(kmer_vals, k)
+    group_start = np.empty(n, dtype=bool)
+    group_start[0] = True
+    group_start[1:] = ~kw.rows_equal(suffixes[1:], suffixes[:-1])
+    rep_idx = np.flatnonzero(group_start)
+    S = suffixes[rep_idx]
+
+    # --- out-edges per group ------------------------------------------
+    kmer_bits = np.zeros((4, n), dtype=bool)
+    for c in range(4):
+        y = kw.append_last(S, np.full(len(S), c, dtype=np.uint8))
+        kmer_bits[c, rep_idx] = kw.isin_sorted(kmer_vals, y)
+
+    # --- sources and dummies ------------------------------------------
+    preds = kw.drop_last(kmer_vals)
+    has_pred = kw.isin_sorted(S, preds)
+    sources = kmer_vals[~has_pred]
+    m = len(sources)
+
+    pref_lens = np.arange(k - 1, -1, -1, dtype=np.int64)  # [k]
+    pvals = kw.prefix_of_length(sources[:, None, :], k, pref_lens[None, :])  # [m, k, W]
+    pedges = kw.char_at_distance(
+        np.broadcast_to(sources[:, None, :], (m, k, W)), (k - 1 - pref_lens)[None, :]
+    )  # [m, k]
+    d_vals = pvals.reshape(-1, W)
+    d_lens = np.broadcast_to(pref_lens, (m, k)).ravel().astype(np.int64)
+    d_edge = pedges.ravel().astype(np.int64)
+
+    d_vals = np.concatenate([d_vals, np.zeros((1, W), dtype=_U64)])
+    d_lens = np.concatenate([d_lens, [0]])
+    d_edge = np.concatenate([d_edge, [-1]]).astype(np.int64)
+
+    order = kw.colex_argsort(d_vals, d_lens)
+    d_vals, d_lens, d_edge = d_vals[order], d_lens[order], d_edge[order]
+    new = np.empty(len(d_vals), dtype=bool)
+    new[0] = True
+    new[1:] = ~kw.rows_equal(d_vals[1:], d_vals[:-1]) | (d_lens[1:] != d_lens[:-1])
+    gid = np.cumsum(new) - 1
+    n_d = int(gid[-1]) + 1
+    dummy_vals = d_vals[new]
+    dummy_lens = d_lens[new].astype(np.uint8)
+    dummy_bits = np.zeros((4, n_d), dtype=bool)
+    for c in range(4):
+        np.logical_or.at(dummy_bits[c], gid, d_edge == c)
+
+    # --- merge dummies + k-mers in colex order ------------------------
+    all_vals = np.concatenate([dummy_vals, kmer_vals])
+    all_lens = np.concatenate([dummy_lens, np.full(n, k, dtype=np.uint8)])
+    all_bits = np.concatenate([dummy_bits, kmer_bits], axis=1)
+    order = kw.colex_argsort(all_vals, all_lens)
+    node_vals = all_vals[order]
+    node_lens = all_lens[order]
+    bits = all_bits[:, order]
+
+    # --- streaming support ---------------------------------------------
+    if streaming_support:
+        sh_vals = node_vals.copy()
+        sh_lens = node_lens.astype(np.int64).copy()
+        is_full = sh_lens == k
+        sh_vals[is_full] = kw.drop_first(sh_vals[is_full], k)
+        sh_lens[is_full] = k - 1
+        sgs = np.empty(len(node_vals), dtype=bool)
+        sgs[0] = True
+        sgs[1:] = ~kw.rows_equal(sh_vals[1:], sh_vals[:-1]) | (
+            sh_lens[1:] != sh_lens[:-1]
+        )
+    else:
+        sgs = np.empty(0, dtype=bool)
+
+    return BuiltSBWT(
+        bits=bits,
+        suffix_group_starts=sgs,
+        k=k,
+        n_kmers=n,
+        node_vals=node_vals,
+        node_lens=node_lens,
+    )
+
+
 def build_sbwt(
     seqs,
     k: int,
@@ -213,7 +341,10 @@ def build_sbwt(
     max_abundance: int | None = None,
     add_reverse_complements: bool = False,
 ) -> BuiltSBWT:
-    """Build a plain-matrix SBWT from DNA sequences (strings or code arrays)."""
+    """Build a plain-matrix SBWT from DNA sequences (strings or code arrays).
+
+    k up to 32 uses single-word packing; 33..255 (the reference's
+    MAX_KMER_LENGTH ceiling) uses the multi-word path."""
     if add_reverse_complements:
         from ..utils.dna import reverse_complement
 
@@ -221,6 +352,9 @@ def build_sbwt(
         seqs = seqs + [
             reverse_complement(s) if isinstance(s, str) else encode_rc(s) for s in seqs
         ]
+    if k > km.MAX_K:
+        kv = _distinct_kmers_wide(seqs, k, min_abundance, max_abundance)
+        return build_from_kmers_wide(kv, k, streaming_support)
     kv = _distinct_kmers(seqs, k, min_abundance, max_abundance)
     return build_from_kmers(kv, k, streaming_support)
 
