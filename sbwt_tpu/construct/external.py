@@ -55,23 +55,35 @@ def build_sbwt_external(
     sorted_f = tfm.create_filename("kmers_sorted_", ".bin")
     distinct_f = tfm.create_filename("kmers_distinct_", ".bin")
 
+    wide = k > km.MAX_K
+    if wide:
+        from ..utils import kmers_wide as kw
+
+        W = kw.n_words(k)
+    else:
+        W = 1
+
     n_windows = 0
     with open(raw, "wb") as f:
         for codes in _iter_code_chunks(seqs, add_reverse_complements):
-            vals, valid = km.pack_windows(codes, k)
+            if wide:
+                vals, valid = kw.pack_windows(codes, k)
+            else:
+                vals, valid = km.pack_windows(codes, k)
             if vals.size:
                 kept = np.ascontiguousarray(vals[valid])
                 kept.tofile(f)
                 n_windows += len(kept)
     write_log(f"external build: spilled {n_windows} k-mer records")
 
-    native.em_sort_u64_file(
-        raw, sorted_f, tfm.get_dir(), ram_bytes=ram_bytes, n_threads=n_threads
+    native.em_sort_records_file(
+        raw, sorted_f, tfm.get_dir(), W, ram_bytes=ram_bytes, n_threads=n_threads
     )
     tfm.delete_file(raw)
-    n_distinct = native.em_dedup_count_u64_file(
+    n_distinct = native.em_dedup_count_records_file(
         sorted_f,
         distinct_f,
+        W,
         min_abund=min_abundance,
         max_abund=max_abundance if max_abundance is not None else 2**62,
     )
@@ -80,4 +92,8 @@ def build_sbwt_external(
 
     kmer_vals = np.fromfile(distinct_f, dtype=np.uint64)
     tfm.delete_file(distinct_f)
+    if wide:
+        from .inmemory import build_from_kmers_wide
+
+        return build_from_kmers_wide(kmer_vals.reshape(-1, W), k, streaming_support)
     return build_from_kmers(kmer_vals, k, streaming_support)

@@ -166,12 +166,6 @@ class SBWT:
         if method == "auto":
             est = sum(len(s) for s in seqs) * 8 * (2 if add_reverse_complements else 1)
             method = "external" if est > ram_bytes // 2 else "memory"
-        from ..utils import kmers as _km
-
-        if k > _km.MAX_K and method == "external":
-            # The EM-sort pipeline is single-word; wide k-mers (k <= 255)
-            # build through the vectorized in-memory path.
-            method = "memory"
         if method == "external":
             from ..construct.external import build_sbwt_external
 

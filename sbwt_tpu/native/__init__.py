@@ -76,6 +76,16 @@ def get_lib():
         lib.em_dedup_count_u64.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.em_sort_u64w.restype = ctypes.c_int
+        lib.em_sort_u64w.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.em_dedup_count_u64w.restype = ctypes.c_int64
+        lib.em_dedup_count_u64w.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -195,4 +205,52 @@ def em_dedup_count_u64_file(in_path: str, out_path: str,
     )
     if kept < 0:
         raise RuntimeError("em_dedup_count_u64 failed")
+    return int(kept)
+
+
+def em_sort_records_file(in_path: str, out_path: str, tmp_dir: str, n_words: int,
+                         ram_bytes: int = 1 << 30, n_threads: int = 4) -> None:
+    """Sort fixed-size records of n_words uint64 each, lexicographic by
+    word (== colex k-mer order for the kmers_wide packing)."""
+    if n_words == 1:
+        return em_sort_u64_file(in_path, out_path, tmp_dir, ram_bytes, n_threads)
+    lib = get_lib()
+    if lib is None:
+        arr = np.fromfile(in_path, dtype=np.uint64).reshape(-1, n_words)
+        order = np.lexsort([arr[:, w] for w in range(n_words - 1, -1, -1)])
+        np.ascontiguousarray(arr[order]).tofile(out_path)
+        return
+    rc = lib.em_sort_u64w(
+        in_path.encode(), out_path.encode(), tmp_dir.encode(),
+        int(ram_bytes), int(n_threads), int(n_words),
+    )
+    if rc != 0:
+        raise RuntimeError(f"em_sort_u64w failed with code {rc}")
+
+
+def em_dedup_count_records_file(in_path: str, out_path: str, n_words: int,
+                                min_abund: int = 1, max_abund: int = 2**62) -> int:
+    """Dedup + abundance-filter a sorted record file (n_words uint64 each)."""
+    if n_words == 1:
+        return em_dedup_count_u64_file(in_path, out_path, min_abund, max_abund)
+    lib = get_lib()
+    if lib is None:
+        arr = np.fromfile(in_path, dtype=np.uint64).reshape(-1, n_words)
+        new = np.empty(len(arr), dtype=bool)
+        if len(arr):
+            new[0] = True
+            new[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate([starts, [len(arr)]]))
+            keep = (counts >= min_abund) & (counts <= max_abund)
+            np.ascontiguousarray(arr[starts[keep]]).tofile(out_path)
+            return int(keep.sum())
+        arr.tofile(out_path)
+        return 0
+    kept = lib.em_dedup_count_u64w(
+        in_path.encode(), out_path.encode(), int(min_abund), int(max_abund),
+        int(n_words),
+    )
+    if kept < 0:
+        raise RuntimeError("em_dedup_count_u64w failed")
     return int(kept)

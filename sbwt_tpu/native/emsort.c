@@ -12,6 +12,7 @@
  *
  * Exposed via ctypes (see native/__init__.py).
  */
+#define _GNU_SOURCE /* qsort_r */
 #include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
@@ -238,6 +239,256 @@ int em_sort_u64(const char *in_path, const char *out_path,
     }
     free(cur[0]); free(cur);
     return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Wide records: W x uint64 words per record, lexicographic word order  */
+/* (word 0 most significant) == colex k-mer order for the multi-word   */
+/* packing of utils/kmers_wide.py (k up to 255, Kmer.hh ceiling).      */
+/* ------------------------------------------------------------------ */
+
+static inline int cmp_rec(const uint64_t *a, const uint64_t *b, int W) {
+    for (int w = 0; w < W; w++) {
+        if (a[w] < b[w]) return -1;
+        if (a[w] > b[w]) return 1;
+    }
+    return 0;
+}
+
+static int cmp_rec_qsort(const void *a, const void *b, void *ctx) {
+    return cmp_rec(a, b, (int)(intptr_t)ctx);
+}
+
+typedef struct {
+    uint64_t *data;
+    int64_t n; /* records */
+    int W;
+    char path[4096];
+} JobW;
+
+typedef struct {
+    JobW *jobs;
+    int n_jobs;
+    int next;
+    pthread_mutex_t mu;
+} PoolW;
+
+static void *worker_w(void *arg) {
+    PoolW *p = arg;
+    for (;;) {
+        pthread_mutex_lock(&p->mu);
+        int i = p->next < p->n_jobs ? p->next++ : -1;
+        pthread_mutex_unlock(&p->mu);
+        if (i < 0) return NULL;
+        JobW *j = &p->jobs[i];
+        qsort_r(j->data, j->n, j->W * sizeof(uint64_t), cmp_rec_qsort,
+                (void *)(intptr_t)j->W);
+        FILE *f = fopen(j->path, "wb");
+        fwrite(j->data, j->W * sizeof(uint64_t), j->n, f);
+        fclose(f);
+        free(j->data);
+        j->data = NULL;
+    }
+}
+
+typedef struct {
+    FILE *f;
+    uint64_t *buf;
+    int64_t len, pos; /* in records */
+    int alive;
+    int W;
+} RunW;
+
+static int runw_advance(RunW *r) {
+    if (++r->pos >= r->len) {
+        r->len = fread(r->buf, r->W * sizeof(uint64_t), RUNBUF, r->f);
+        r->pos = 0;
+        if (r->len == 0) { r->alive = 0; return 0; }
+    }
+    return 1;
+}
+
+static inline const uint64_t *runw_head(RunW *r) {
+    return r->buf + r->pos * r->W;
+}
+
+typedef struct { const uint64_t *key; int run; } HeapItemW;
+
+static void heapw_down(HeapItemW *h, int n, int i, int W) {
+    for (;;) {
+        int l = 2 * i + 1, r = 2 * i + 2, m = i;
+        if (l < n && cmp_rec(h[l].key, h[m].key, W) < 0) m = l;
+        if (r < n && cmp_rec(h[r].key, h[m].key, W) < 0) m = r;
+        if (m == i) return;
+        HeapItemW t = h[i]; h[i] = h[m]; h[m] = t;
+        i = m;
+    }
+}
+
+static int merge_runs_w(char **paths, int n_runs, const char *out_path, int W) {
+    RunW *runs = calloc(n_runs, sizeof(RunW));
+    HeapItemW *heap = malloc(n_runs * sizeof(HeapItemW));
+    int hn = 0;
+    for (int i = 0; i < n_runs; i++) {
+        runs[i].f = fopen(paths[i], "rb");
+        if (!runs[i].f) return -1;
+        runs[i].buf = malloc((size_t)RUNBUF * W * sizeof(uint64_t));
+        runs[i].pos = -1;
+        runs[i].alive = 1;
+        runs[i].W = W;
+        if (runw_advance(&runs[i]))
+            heap[hn++] = (HeapItemW){runw_head(&runs[i]), i};
+    }
+    for (int i = hn / 2 - 1; i >= 0; i--) heapw_down(heap, hn, i, W);
+    FILE *out = fopen(out_path, "wb");
+    if (!out) return -1;
+    uint64_t *obuf = malloc((size_t)RUNBUF * W * sizeof(uint64_t));
+    int64_t on = 0;
+    while (hn > 0) {
+        memcpy(obuf + on * W, heap[0].key, W * sizeof(uint64_t));
+        if (++on == RUNBUF) { fwrite(obuf, W * sizeof(uint64_t), on, out); on = 0; }
+        RunW *r = &runs[heap[0].run];
+        if (runw_advance(r)) heap[0].key = runw_head(r);
+        else heap[0] = heap[--hn];
+        heapw_down(heap, hn, 0, W);
+    }
+    fwrite(obuf, W * sizeof(uint64_t), on, out);
+    fclose(out);
+    for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].buf); }
+    free(runs); free(heap); free(obuf);
+    return 0;
+}
+
+/* Sort a raw file of W-word records (W in 1..32). Same structure as
+ * em_sort_u64; the W=1 entry point remains the fast radix path. */
+int em_sort_u64w(const char *in_path, const char *out_path,
+                 const char *tmp_dir, int64_t ram_bytes, int n_threads, int W) {
+    if (W == 1) return em_sort_u64(in_path, out_path, tmp_dir, ram_bytes, n_threads);
+    if (W < 1 || W > 32) return -2;
+    if (n_threads < 1) n_threads = 1;
+    FILE *in = fopen(in_path, "rb");
+    if (!in) return -1;
+    size_t rec = W * sizeof(uint64_t);
+    int64_t block = ram_bytes / n_threads;
+    if (block < (int64_t)(1 << 20)) block = 1 << 20;
+    int64_t block_recs = block / rec;
+
+    JobW *jobs = NULL;
+    int n_jobs = 0, cap_jobs = 0;
+    for (;;) {
+        uint64_t *data = malloc(block_recs * rec);
+        int64_t n = fread(data, rec, block_recs, in);
+        if (n <= 0) { free(data); break; }
+        if (n_jobs == cap_jobs) {
+            cap_jobs = cap_jobs ? cap_jobs * 2 : 16;
+            jobs = realloc(jobs, cap_jobs * sizeof(JobW));
+        }
+        JobW *j = &jobs[n_jobs];
+        j->data = data;
+        j->n = n;
+        j->W = W;
+        snprintf(j->path, sizeof(j->path), "%s/emsortw_run_%d.bin", tmp_dir, n_jobs);
+        n_jobs++;
+        if (n_jobs % n_threads == 0) {
+            PoolW p = {jobs + n_jobs - n_threads, n_threads, 0,
+                       PTHREAD_MUTEX_INITIALIZER};
+            pthread_t th[256];
+            int nt = n_threads > 256 ? 256 : n_threads;
+            for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
+            for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+        }
+    }
+    fclose(in);
+    int tail = n_jobs % n_threads;
+    if (tail) {
+        PoolW p = {jobs + n_jobs - tail, tail, 0, PTHREAD_MUTEX_INITIALIZER};
+        pthread_t th[256];
+        int nt = tail > 256 ? 256 : tail;
+        for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
+        for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+    }
+    if (n_jobs == 0) {
+        FILE *out = fopen(out_path, "wb");
+        if (!out) { free(jobs); return -1; }
+        fclose(out);
+        free(jobs);
+        return 0;
+    }
+
+    char **cur = malloc(n_jobs * sizeof(char *));
+    for (int i = 0; i < n_jobs; i++) cur[i] = strdup(jobs[i].path);
+    int n_cur = n_jobs, gen = 0;
+    free(jobs);
+    while (n_cur > 1) {
+        int n_next = (n_cur + MAX_WAY - 1) / MAX_WAY;
+        char **next = malloc(n_next * sizeof(char *));
+        for (int g = 0; g < n_next; g++) {
+            int lo = g * MAX_WAY;
+            int hi = lo + MAX_WAY < n_cur ? lo + MAX_WAY : n_cur;
+            char path[4096];
+            snprintf(path, sizeof(path), "%s/emsortw_merge_%d_%d.bin", tmp_dir,
+                     gen, g);
+            if (merge_runs_w(cur + lo, hi - lo, path, W)) return -1;
+            next[g] = strdup(path);
+            for (int i = lo; i < hi; i++) { remove(cur[i]); free(cur[i]); }
+        }
+        free(cur);
+        cur = next;
+        n_cur = n_next;
+        gen++;
+    }
+    remove(out_path);
+    if (rename(cur[0], out_path)) {
+        FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
+        if (!a || !b) return -1;
+        char buf[1 << 16]; size_t n;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
+        fclose(a); fclose(b);
+        remove(cur[0]);
+    }
+    free(cur[0]); free(cur);
+    return 0;
+}
+
+/* Dedup/abundance-filter a sorted W-word record file. */
+int64_t em_dedup_count_u64w(const char *in_path, const char *out_path,
+                            int64_t min_abund, int64_t max_abund, int W) {
+    if (W < 1 || W > 32) return -2;
+    FILE *in = fopen(in_path, "rb");
+    if (!in) return -1;
+    FILE *out = fopen(out_path, "wb");
+    if (!out) { fclose(in); return -1; }
+    size_t rec = W * sizeof(uint64_t);
+    uint64_t *ibuf = malloc((size_t)RUNBUF * rec);
+    uint64_t *obuf = malloc((size_t)RUNBUF * rec);
+    uint64_t cur[32];
+    int64_t on = 0, kept = 0, count = 0;
+    int have = 0;
+    for (;;) {
+        int64_t n = fread(ibuf, rec, RUNBUF, in);
+        if (n <= 0) break;
+        for (int64_t i = 0; i < n; i++) {
+            const uint64_t *v = ibuf + i * W;
+            if (have && cmp_rec(v, cur, W) == 0) { count++; continue; }
+            if (have && count >= min_abund && count <= max_abund) {
+                memcpy(obuf + on * W, cur, rec);
+                kept++;
+                if (++on == RUNBUF) { fwrite(obuf, rec, on, out); on = 0; }
+            }
+            memcpy(cur, v, rec);
+            count = 1;
+            have = 1;
+        }
+    }
+    if (have && count >= min_abund && count <= max_abund) {
+        memcpy(obuf + on * W, cur, rec);
+        on++;
+        kept++;
+    }
+    fwrite(obuf, rec, on, out);
+    free(ibuf); free(obuf);
+    fclose(in); fclose(out);
+    return kept;
 }
 
 /* Streaming dedup over a sorted u64 file with abundance filtering:

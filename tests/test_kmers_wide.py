@@ -137,3 +137,31 @@ def test_wide_queries_match_oracle():
     # streaming over a read
     read = seqs[0][:120] + rand_str(rng, 30)
     assert sbwt.streaming_search(read) == oracle.streaming_search(read)
+
+
+def test_wide_external_build_matches_inmemory():
+    k = 40
+    rng = np.random.default_rng(123)
+    seqs = [rand_str(rng, 500) for _ in range(3)]
+    from sbwt_tpu.construct.external import build_sbwt_external
+    from sbwt_tpu.construct.inmemory import build_sbwt
+
+    want = build_sbwt(seqs, k)
+    got = build_sbwt_external(seqs, k, ram_bytes=1 << 20, n_threads=3)
+    assert np.array_equal(got.bits, want.bits)
+    assert np.array_equal(got.suffix_group_starts, want.suffix_group_starts)
+    assert got.n_kmers == want.n_kmers
+
+
+def test_wide_external_build_abundance_cutoffs():
+    k = 36
+    rng = np.random.default_rng(9)
+    s = rand_str(rng, 200)
+    seqs = [s, s, rand_str(rng, 120)]  # k-mers of s occur twice
+    from sbwt_tpu.construct.external import build_sbwt_external
+    from sbwt_tpu.construct.inmemory import build_sbwt
+
+    want = build_sbwt(seqs, k, min_abundance=2)
+    got = build_sbwt_external(seqs, k, min_abundance=2, ram_bytes=1 << 20)
+    assert np.array_equal(got.bits, want.bits)
+    assert got.n_kmers == want.n_kmers
