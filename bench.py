@@ -57,7 +57,7 @@ def main():
 
     k = 30
     read_len = 100
-    n_reads = 1 << 20  # 1M reads: enough lanes to saturate the gather units
+    n_reads = 1 << 22  # 4M reads: dependent-gather rate keeps climbing to ~8M lanes
     genome_codes = make_corpus_codes()
     write_log(f"bench: building k={k} index over {len(genome_codes)/1e6:.1f} Mbp")
     t0 = time.perf_counter()
@@ -70,8 +70,10 @@ def main():
         f"in {build_s:.1f}s"
     )
     t0 = time.perf_counter()
-    turbo = build_turbo(sbwt.device_index)
-    jax.block_until_ready(turbo.pair_tbl)
+    # arity-3 successor table: 1 KiB/column (4 GB at this index size),
+    # 0.33 dependent gathers per chain answer
+    turbo = build_turbo(sbwt.device_index, arity=3)
+    jax.block_until_ready(turbo.tbl)
     write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
 
     codes = sample_read_codes(genome_codes, n_reads, read_len)

@@ -104,17 +104,19 @@ def main():
           f"({nq*reps/dt/1e6:.1f}M q/s, checksum {int(np.asarray(out).sum())})",
           flush=True)
 
-    turbo = build_turbo(sb.device_index)
-    out = turbo_streaming_jit(turbo, sb.device_index, rd, ld)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    for arity in (2, 3):
+        turbo = build_turbo(sb.device_index, arity=arity)
         out = turbo_streaming_jit(turbo, sb.device_index, rd, ld)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    print(f"streaming search (turbo): {dt*1e6/(nq*reps):.4f} us/query "
-          f"({nq*reps/dt/1e6:.1f}M q/s, checksum {int(np.asarray(out).sum())})",
-          flush=True)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = turbo_streaming_jit(turbo, sb.device_index, rd, ld)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        print(f"streaming search (turbo, arity {arity}): "
+              f"{dt*1e6/(nq*reps):.4f} us/query "
+              f"({nq*reps/dt/1e6:.1f}M q/s, checksum {int(np.asarray(out).sum())})",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -116,10 +116,13 @@ def search_main(argv) -> int:
     p.add_argument("-i", "--index-file", required=True)
     p.add_argument("-q", "--query-file", required=True)
     p.add_argument("-z", "--gzip-output", action="store_true")
-    p.add_argument("--engine", choices=["auto", "lf", "turbo"], default="auto",
-                   help="query engine: LF rank engine, or the successor-pair "
-                        "turbo table (~128 B HBM per column; auto enables it "
-                        "for plain-matrix indexes up to 16M columns)")
+    p.add_argument("--engine", choices=["auto", "lf", "turbo", "turbo2", "turbo3"],
+                   default="auto",
+                   help="query engine: LF rank engine, or the successor turbo "
+                        "table (turbo2: pairs, 128 B HBM/column; turbo3: "
+                        "triples, 1 KiB/column; turbo/auto pick arity by "
+                        "index size, auto only for plain-matrix up to 16M "
+                        "columns)")
     args = p.parse_args(argv)
 
     t_start = time.perf_counter()
@@ -138,7 +141,7 @@ def search_main(argv) -> int:
 
     sbwt = load(args.index_file)
     write_log(f"Loaded the index variant {sbwt.variant}")
-    want_turbo = args.engine == "turbo" or (
+    want_turbo = args.engine in ("turbo", "turbo2", "turbo3") or (
         args.engine == "auto"
         and sbwt.variant == "plain-matrix"
         and sbwt.has_streaming_query_support()
@@ -146,8 +149,11 @@ def search_main(argv) -> int:
     )
     if want_turbo:
         try:
-            sbwt.enable_turbo()
-            write_log("Turbo successor-pair engine enabled")
+            arity = {"turbo2": 2, "turbo3": 3}.get(args.engine)
+            sbwt.enable_turbo(arity=arity)
+            write_log(
+                f"Turbo successor engine enabled (arity {sbwt._turbo.arity})"
+            )
         except Exception as e:  # fall back to the LF engine
             write_log(f"Turbo engine unavailable ({e}); using LF engine")
     n = run_query_files(sbwt, in_files, out_files, args.gzip_output)

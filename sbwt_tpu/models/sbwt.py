@@ -232,13 +232,17 @@ class SBWT:
             raise ValueError(f"query shorter than k={self.k}")
         return int(self.search_batch(codes[None, :])[0])
 
-    def enable_turbo(self) -> None:
-        """Build the successor-pair turbo table (ops/turbo.py): ~128 B of
-        HBM per column for ~4x the streaming query throughput.  Exact
-        same answers; used automatically by streaming_search_batch."""
+    def enable_turbo(self, arity: int | None = None) -> None:
+        """Build the successor turbo table (ops/turbo.py): 128 B (arity 2)
+        or 1 KiB (arity 3) of HBM per column for ~4-6x the streaming
+        query throughput.  Exact same answers; used automatically by
+        streaming_search_batch.  Default arity: 3 for indexes small
+        enough to afford the table (<= 6M columns), else 2."""
         from ..ops.turbo import build_turbo
 
-        self._turbo = build_turbo(self.device_index)
+        if arity is None:
+            arity = 3 if self.number_of_subsets() <= 6_000_000 else 2
+        self._turbo = build_turbo(self.device_index, arity=arity)
 
     def streaming_search_batch(
         self, codes: np.ndarray, lengths: np.ndarray | None = None

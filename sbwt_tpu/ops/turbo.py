@@ -1,15 +1,17 @@
-"""Turbo query engine: de Bruijn successor-pair table.
+"""Turbo query engine: de Bruijn successor tables of arity 2 or 3.
 
 The exact-output fast path for the reference's headline workload
 (`sbwt search` streaming over reads, src/CLI/sbwt_search.cpp:46-65),
 trading HBM for gather count — the TPU query bottleneck is dependent
 random gathers, so answers-per-gather is the whole game:
 
-* ``pair_tbl`` int32 [n*16, 2]: entry (col*4+c1)*4+c2 holds
-  (succ(col, c1), succ(succ(col, c1), c2)) where succ follows the
-  out-edge labeled c from col's suffix group (SBWT.hh:566-577).  One
-  8-byte gather advances a read TWO k-mer positions: 0.5 gathers/answer
-  on the streaming chain, vs 2 rank gathers/answer for the LF engine.
+* ``tbl`` int32 [n*4^A, A(+pad)]: for arity A, entry
+  col*4^A + c_1*4^(A-1) + ... + c_A holds the successor columns after
+  applying 1..A out-edges from col's suffix group (SBWT.hh:566-577),
+  with -1 propagation baked in.  One 8-byte (A=2) or 16-byte (A=3)
+  gather advances a read A k-mer positions: 1/A gathers/answer on the
+  streaming chain, vs 2 rank gathers/answer for the LF engine.
+  HBM cost: 128 B/column (A=2) or 1 KiB/column (A=3).
 
 * First k-mers and post-mismatch restarts use the **singleton seed**
   path: with precalc_k >= log4(n) the precalc interval of a k-mer's
@@ -17,17 +19,16 @@ random gathers, so answers-per-gather is the whole game:
   column.  A singleton search state at < k processed characters is
   always a whole suffix group (k-mers sharing a (k-1)-suffix agree on
   any shorter suffix), so the remaining k-p characters can be walked
-  with the same successor-pair table — the LF interval machinery
+  with the same successor table — the LF interval machinery
   (SBWT.hh:423-437) is only needed for the rare non-singleton seeds,
-  which fall back to the exact engine (ops/search.py).
+  which fall back to interval LF steps (ops/search.py semantics).
 
 Output is bit-identical to SBWT::streaming_search / search (the
 contract of SBWT.hh:231), verified differentially in tests.
 
-Cost model (k=30, p=12, 100bp reads): ~45 gathers per 71 answers
-= 0.63 gathers/answer -> ~100M+ answers/s/chip at the measured
-70-80M dependent gathers/s.  HBM cost: 128 B/column (optional tier;
-the succinct engines remain the default).
+Cost model (k=30, p=12, 100bp reads, A=3): ~31 gathers per 71 answers
+= 0.44 gathers/answer -> >100M answers/s/chip at the measured
+~90M dependent gathers/s.
 """
 from __future__ import annotations
 
@@ -42,17 +43,22 @@ from jax import lax
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pair_tbl", "precalc", "C"],
-    meta_fields=["n_nodes", "k", "precalc_k"],
+    data_fields=["tbl", "precalc", "C"],
+    meta_fields=["n_nodes", "k", "precalc_k", "arity"],
 )
 @dataclass(frozen=True)
 class TurboIndex:
-    pair_tbl: jax.Array  # int32 [n*16, 2]
+    tbl: jax.Array  # int32 [n*4^A, row] (row = 2 for A=2, 4 for A=3)
     precalc: jax.Array  # int32 [4^p, 2] (shared with the base index)
     C: jax.Array  # int32 [4]
     n_nodes: int
     k: int
     precalc_k: int
+    arity: int = 2
+
+    @property
+    def pair_tbl(self):  # backwards-compatible alias (arity-2 table)
+        return self.tbl
 
 
 def _succ1(index):
@@ -82,36 +88,89 @@ def _pair_chunk(succ, start, chunk):
     return pair.transpose(2, 1, 0, 3).reshape(chunk * 16, 2)
 
 
-def _build_pair_tbl(index, chunk=1 << 20):
-    """Chunked over columns to bound transient HBM (~128 MB per chunk)."""
+@partial(jax.jit, static_argnames=("chunk",))
+def _triple_chunk(succ, start, chunk):
+    """triple rows for columns [start, start+chunk): [chunk*64, 4] int32.
+
+    Row layout (s1, s2, s3, 0) at index col*64 + c1*16 + c2*4 + c3; the
+    pad keeps rows 16-byte aligned for single-transaction gathers."""
+    n1 = lax.dynamic_slice(succ, (0, start), (4, chunk))  # [c1, m]
+    n2 = jnp.take(succ, jnp.clip(n1, 0), axis=1)  # [c2, c1, m]
+    n2 = jnp.where(n1[None] >= 0, n2, -1)
+    n3 = jnp.take(succ, jnp.clip(n2, 0), axis=1)  # [c3, c2, c1, m]
+    n3 = jnp.where(n2[None] >= 0, n3, -1)
+    m = chunk
+    n1_b = jnp.broadcast_to(n1[None, None], (4, 4, 4, m))  # [c3, c2, c1, m]
+    n2_b = jnp.broadcast_to(n2[None], (4, 4, 4, m))
+    pad = jnp.zeros((4, 4, 4, m), dtype=jnp.int32)
+    quad = jnp.stack([n1_b, n2_b, n3, pad], axis=-1)  # [c3, c2, c1, m, 4]
+    # -> [m, c1, c2, c3, 4]
+    return quad.transpose(3, 2, 1, 0, 4).reshape(m * 64, 4)
+
+
+def _build_tbl(index, arity: int, chunk: int):
     succ = _succ1_jit(index)  # [4, n] int32
     n = succ.shape[1]
+    fn = _pair_chunk if arity == 2 else _triple_chunk
+    rows_per_col = 4**arity
     if n <= chunk:
-        return _pair_chunk(
-            jnp.pad(succ, ((0, 0), (0, chunk - n))), 0, chunk
-        )[: n * 16]
+        return fn(jnp.pad(succ, ((0, 0), (0, chunk - n))), 0, chunk)[: n * rows_per_col]
     n_pad = -(-n // chunk) * chunk
     succ_p = jnp.pad(succ, ((0, 0), (0, n_pad - n)))
-    parts = [
-        _pair_chunk(succ_p, s, chunk) for s in range(0, n_pad, chunk)
-    ]
-    return jnp.concatenate(parts)[: n * 16]
+    parts = [fn(succ_p, s, chunk) for s in range(0, n_pad, chunk)]
+    return jnp.concatenate(parts)[: n * rows_per_col]
 
 
-def build_turbo(index) -> TurboIndex:
-    """Build the successor-pair table from a device index (any variant that
-    implements the engine interface; plain-matrix recommended)."""
+def build_turbo(index, arity: int = 2) -> TurboIndex:
+    """Build the successor table from a device index (any variant that
+    implements the engine interface; plain-matrix recommended).
+
+    arity 2: 128 B HBM per column.  arity 3: 1 KiB per column, ~1.5x
+    fewer chain gathers — for indexes where HBM allows."""
     if not index.has_streaming:
         raise ValueError("turbo engine requires streaming support (suffix group marks)")
-    pair = _build_pair_tbl(index)
+    if arity not in (2, 3):
+        raise ValueError("turbo arity must be 2 or 3")
+    chunk = 1 << 20 if arity == 2 else 1 << 18
+    tbl = _build_tbl(index, arity, chunk)
     return TurboIndex(
-        pair_tbl=pair,
+        tbl=tbl,
         precalc=index.precalc,
         C=index.C,
         n_nodes=index.n_nodes,
         k=index.k,
         precalc_k=index.precalc_k,
+        arity=arity,
     )
+
+
+# ---------------------------------------------------------------------------
+# one multi-successor step
+# ---------------------------------------------------------------------------
+
+
+def _step(turbo, col, cs, vs):
+    """Advance col by chars cs (length-arity list); vs are char-valid
+    masks.  Returns the list of successor columns after 1..arity chars.
+    Dead lanes (col < 0) stay dead; -1 propagates."""
+    A = turbo.arity
+    idx = jnp.clip(col, 0)
+    for c in cs:
+        idx = idx * 4 + (c & 3)
+    row = turbo.tbl[idx]
+    outs = []
+    prev_ok = col >= 0
+    for i in range(A):
+        o = jnp.where(prev_ok & vs[i], row[..., i], -1)
+        outs.append(o)
+        prev_ok = o >= 0
+    return outs
+
+
+def _pair_step(turbo, col, c1, c2, v1, v2):
+    """Backwards-compatible arity-2 step; returns (after c1, after c1c2)."""
+    o = _step(turbo, col, [c1, c2], [v1, v2])
+    return o[0], o[1]
 
 
 # ---------------------------------------------------------------------------
@@ -119,14 +178,21 @@ def build_turbo(index) -> TurboIndex:
 # ---------------------------------------------------------------------------
 
 
-def _pair_step(turbo, col, c1, c2, v1, v2):
-    """Advance col by (c1, c2); returns (col after c1, col after c1c2).
-    v1/v2: char-valid masks.  Dead lanes (col < 0) stay dead."""
-    idx = jnp.clip(col, 0) * 16 + (c1 & 3) * 4 + (c2 & 3)
-    row = turbo.pair_tbl[idx]
-    n1 = jnp.where((col >= 0) & v1, row[..., 0], -1)
-    n2 = jnp.where((n1 >= 0) & v2, row[..., 1], -1)
-    return n1, n2
+def _walk_rem(turbo, col, char_fn, rem):
+    """Walk `rem` characters from singleton columns using arity-A steps.
+    char_fn(j) must return the j-th remaining char array (values 0..3,
+    already validated)."""
+    A = turbo.arity
+    tv = jnp.ones_like(col, dtype=bool)
+    j = 0
+    while j < rem:
+        take = min(A, rem - j)
+        cs = [char_fn(j + i) if i < take else char_fn(rem - 1) for i in range(A)]
+        vs = [tv] * A
+        outs = _step(turbo, col, cs, vs)
+        col = outs[take - 1]
+        j += take
+    return col
 
 
 def fast_search(turbo: TurboIndex, codes):
@@ -148,16 +214,7 @@ def fast_search(turbo: TurboIndex, codes):
     singleton = l == r
     needs_slow = ~dead & ~singleton
     col = jnp.where(dead, -1, l)
-    rem = k - p
-    tv = jnp.ones_like(col, dtype=bool)
-    for j in range(0, rem - 1, 2):
-        col, col2 = _pair_step(
-            turbo, col, cc[..., p + j], cc[..., p + j + 1], tv, tv
-        )
-        col = col2
-    if rem % 2 == 1:
-        n1, _ = _pair_step(turbo, col, cc[..., k - 1], jnp.zeros_like(col), tv, tv)
-        col = n1
+    col = _walk_rem(turbo, col, lambda j: cc[..., p + j], k - p)
     ans = jnp.where(needs_slow, -1, col)
     return ans, needs_slow
 
@@ -167,62 +224,123 @@ def fast_search(turbo: TurboIndex, codes):
 # ---------------------------------------------------------------------------
 
 
+def _seed_all_positions(turbo, rows, P):
+    """Precalc seeds and window validity for every k-mer position of the
+    given code rows [C, L] (VPU math + one seed gather per position).
+
+    Returns (l, r, vwin): seed intervals [C, P] and all-chars-valid mask."""
+    k, p = turbo.k, turbo.precalc_k
+    C_, L = rows.shape
+    ok = (rows >= 0) & (rows < 4)
+    okc = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+    okc = jnp.concatenate([jnp.zeros((C_, 1), jnp.int32), okc], axis=1)
+    vwin = (okc[:, k:] - okc[:, :-k]) == k  # [C, P]
+    cc = jnp.clip(rows, 0) & 3
+    weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
+    pidx = jnp.zeros((C_, P), dtype=jnp.int32)
+    for j in range(p):
+        pidx = pidx + cc[:, j : j + P] * weights[j]
+    seed = turbo.precalc[pidx]  # [C, P, 2]
+    return seed[..., 0], seed[..., 1], vwin
+
+
+def _pack_rem(rows, P, k, p):
+    """Pack the k-p remaining window chars of every position into two
+    uint32 words [C, P] (lo: chars 0..15, hi: chars 16..31): char j of
+    position i at bits [2j, 2j+1] of its word.  Lets the patch fallback
+    fetch a whole window with one fused gather.  Requires k - p <= 32.
+    (uint32 pairs, not uint64: JAX truncates 64-bit ints without x64.)"""
+    cc = (jnp.clip(rows, 0) & 3).astype(jnp.uint32)
+    shape = rows.shape[:-1] + (P,)
+    lo = jnp.zeros(shape, dtype=jnp.uint32)
+    hi = jnp.zeros(shape, dtype=jnp.uint32)
+    for j in range(k - p):
+        w = cc[..., p + j : p + j + P]
+        if j < 16:
+            lo = lo | (w << np.uint32(2 * j))
+        else:
+            hi = hi | (w << np.uint32(2 * (j - 16)))
+    return jnp.stack([lo, hi], axis=-1)  # [..., P, 2]
+
+
+def _lf_from_seeds(index, l0, r0, pw, rem):
+    """Exact LF fallback from non-singleton seed intervals: `rem` LF steps
+    with chars unpacked from pw ([..., 2] uint32, 2 bits/char).  Equals
+    search(window) because the seed interval IS the window's first-p
+    interval (SBWT.hh:423-437)."""
+    from .search import lf_step
+
+    alive = l0 >= 0
+    l = jnp.where(alive, l0, 0)
+    r = jnp.where(alive, r0, 0)
+    for j in range(rem):
+        w = pw[..., 0] if j < 16 else pw[..., 1]
+        c = ((w >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(jnp.int32)
+        l, r, alive = lf_step(index, l, r, c, alive)
+    return jnp.where(alive, l, -1)
+
+
 def turbo_streaming_search(
     turbo: TurboIndex,
     index,
     codes,
     lengths=None,
     chunk_lanes=8192,
-    chunk_slow=4096,
+    chunk_slow=8192,
 ):
-    """Exact streaming search via the successor-pair table.
+    """Exact streaming search via the successor table.
 
     codes int [B, L] (pad with -1), lengths optional int [B].  Returns
     int32 [B, P], P = L - k + 1, equal to per-k-mer search at every
     position.  `index` is the base device index, used only for the rare
-    exact-LF fallback lanes.
+    exact-LF fallback lanes (non-singleton precalc seeds).
     """
     from .search import compact_indices, search_batch
 
     B, L = codes.shape
     k, p = turbo.k, turbo.precalc_k
+    A = turbo.arity
     P = L - k + 1
-    total = B * P
-    codes = codes.astype(jnp.int32)
+    rem = k - p
+    use_pw = 0 < rem <= 32
+    # codes stay in their input dtype (int8 from the readers) end-to-end;
+    # per-step slices are cast on the fly — at multi-million-read batches
+    # an up-front int32 copy of the whole batch costs GBs of HBM.
 
     # ---- position 0: fast singleton search on every lane --------------
     ans0, slow0 = fast_search(turbo, codes[:, :k])
     # exact fallback for non-singleton seeds at position 0 (must resolve
     # before the chain can start)
     work0, n_slow0 = compact_indices(slow0)
+    c0 = min(chunk_slow, B)
 
     def body0(i, a0):
-        sel = lax.dynamic_slice(work0, (i * chunk_slow,), (min(chunk_slow, B),))
-        win = codes[jnp.clip(sel, 0, B - 1), :k]
+        sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
+        win = codes[jnp.clip(sel, 0, B - 1), :k].astype(jnp.int32)
         res = search_batch(index, win)
         return a0.at[sel].set(res, mode="drop")
 
-    n0 = (n_slow0 + chunk_slow - 1) // chunk_slow
+    n0 = (n_slow0 + c0 - 1) // c0
     ans0 = lax.fori_loop(0, n0, body0, ans0)
 
-    # ---- chain: two positions per gather -------------------------------
-    n_pairs = (P - 1 + 1) // 2
-    if n_pairs > 0:
+    # ---- chain: A positions per gather ---------------------------------
+    if P > 1:
+        n_steps = -(-(P - 1) // A)
         ext = jnp.concatenate(
-            [codes, jnp.full((B, 2), -1, dtype=jnp.int32)], axis=1
-        )
-        # chars for pair j: positions k+2j, k+2j+1
-        c1s = jnp.stack([ext[:, k + 2 * j] for j in range(n_pairs)])
-        c2s = jnp.stack([ext[:, k + 2 * j + 1] for j in range(n_pairs)])
+            [codes[:, k:], jnp.full((B, n_steps * A - (P - 1)), -1, codes.dtype)],
+            axis=1,
+        )  # [B, n_steps*A]
+        # [n_steps, A, B]: per-step char arrays, lanes minor
+        xs = ext.T.reshape(n_steps, A, B)
 
-        def step(col, cs):
-            c1, c2 = cs
+        def step(col, cs_step):
+            cs = [cs_step[i].astype(jnp.int32) for i in range(A)]
             # extend semantics: lowercase codes 4..7 valid (SBWT.hh:565-566)
-            n1, n2 = _pair_step(turbo, col, c1, c2, c1 >= 0, c2 >= 0)
-            return n2, jnp.stack([n1, n2])
+            outs = _step(turbo, col, cs, [c >= 0 for c in cs])
+            return outs[A - 1], jnp.stack(outs)
 
-        _, outs = lax.scan(step, ans0, (c1s, c2s))  # [n_pairs, 2, B]
-        rest = outs.transpose(2, 0, 1).reshape(B, 2 * n_pairs)[:, : P - 1]
+        _, outs = lax.scan(step, ans0, xs)  # [n_steps, A, B]
+        rest = outs.reshape(n_steps * A, B)[: P - 1].T  # [B, P-1]
         ans = jnp.concatenate([ans0[:, None], rest], axis=1)
     else:
         ans = ans0[:, None]
@@ -230,8 +348,7 @@ def turbo_streaming_search(
     # ---- restarts: positions whose predecessor is -1 -------------------
     # Patching is per DIRTY LANE (a read with any restart), not per flat
     # position: compaction runs over B lanes instead of B*P positions, and
-    # the k-char windows come from the lane's own row (sliding slices) so
-    # no per-position window gathers are needed.
+    # all per-position math comes from the lane's own row (sliding slices).
     unresolved = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), ans[:, :-1] == -1], axis=1
     )
@@ -242,60 +359,51 @@ def turbo_streaming_search(
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
     Cn = min(chunk_lanes, B)
-    weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
-    karange = jnp.arange(k, dtype=jnp.int32)
-    chunk_slow = min(chunk_slow, Cn * P)
+    cs_ = min(chunk_slow, Cn * P)
 
     def lane_body(i, a):
         lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
         safe = jnp.clip(lanes, 0, B - 1)
-        rows = codes[safe]  # [Cn, L] row gather
+        rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
         un = unresolved[safe] & (lanes[:, None] < B)  # [Cn, P]
-        # per-position search validity: all k chars in 0..3
-        ok = (rows >= 0) & (rows < 4)  # [Cn, L]
-        okc = jnp.cumsum(ok.astype(jnp.int32), axis=1)
-        okc = jnp.concatenate([jnp.zeros((Cn, 1), jnp.int32), okc], axis=1)
-        vwin = (okc[:, k:] - okc[:, :-k]) == k  # [Cn, P]
-        cc = jnp.clip(rows, 0) & 3
-        # precalc seed index per position: sum_j cc[i+j] << 2j
-        pidx = jnp.zeros((Cn, P), dtype=jnp.int32)
-        for j in range(p):
-            pidx = pidx + cc[:, j : j + P] * weights[j]
-        seed = turbo.precalc[pidx]  # [Cn, P, 2]
-        l, r = seed[..., 0], seed[..., 1]
-        dead = (l < 0) | ~vwin
-        singleton = l == r
+        l0, r0, vwin = _seed_all_positions(turbo, rows, P)
+        dead = (l0 < 0) | ~vwin
+        singleton = l0 == r0
         needs_slow = ~dead & ~singleton & un
-        col = jnp.where(dead, -1, l)
-        rem = k - p
-        tv = jnp.ones_like(col, dtype=bool)
-        for j in range(0, rem - 1, 2):
-            c1 = rows[:, p + j : p + j + P]
-            c2 = rows[:, p + j + 1 : p + j + 1 + P]
-            _, col = _pair_step(turbo, col, jnp.clip(c1, 0) & 3,
-                                jnp.clip(c2, 0) & 3, tv, tv)
-        if rem % 2 == 1:
-            clast = rows[:, k - 1 : k - 1 + P]
-            col, _ = _pair_step(turbo, col, jnp.clip(clast, 0) & 3,
-                                jnp.zeros_like(col), tv, tv)
+        col = jnp.where(dead | ~un, -1, l0)  # walk only unresolved live
+        col = _walk_rem(
+            turbo, col, lambda j: jnp.clip(rows[:, p + j : p + j + P], 0) & 3, rem
+        )
         # fast results at unresolved non-slow positions; keep the rest
         new_rows = jnp.where(un & ~needs_slow, col, a[safe])
 
-        # exact LF fallback for this chunk's non-singleton seeds, right
-        # here (bounded by the chunk, so no global slow buffer to overflow)
+        # exact LF fallback for this chunk's non-singleton seeds (rare):
+        # seed interval + rem LF steps, window chars from ONE packed gather
         sw, sc = compact_indices(needs_slow)  # flat over Cn*P
-        rows_flat = rows.ravel()
+        if use_pw:
+            pw = _pack_rem(rows, P, k, p).reshape(Cn * P, 2)
+            l0f, r0f = l0.ravel(), r0.ravel()
 
-        def slow_body(t, nr):
-            sel = lax.dynamic_slice(sw, (t * chunk_slow,), (chunk_slow,))
-            lane_of = jnp.clip(sel, 0, Cn * P - 1) // P
-            pos_of = jnp.clip(sel, 0, Cn * P - 1) % P
-            base = lane_of * L + pos_of
-            win = rows_flat[jnp.clip(base[:, None] + karange[None, :], 0, Cn * L - 1)]
-            res = search_batch(index, win)
-            return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
+            def slow_body(t, nr):
+                sel = lax.dynamic_slice(sw, (t * cs_,), (cs_,))
+                selc = jnp.clip(sel, 0, Cn * P - 1)
+                res = _lf_from_seeds(index, l0f[selc], r0f[selc], pw[selc], rem)
+                return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
-        n_st = (sc + chunk_slow - 1) // chunk_slow
+        else:
+            rows_flat = rows.ravel()
+            karange = jnp.arange(k, dtype=jnp.int32)
+
+            def slow_body(t, nr):
+                sel = lax.dynamic_slice(sw, (t * cs_,), (cs_,))
+                lane_of = jnp.clip(sel, 0, Cn * P - 1) // P
+                pos_of = jnp.clip(sel, 0, Cn * P - 1) % P
+                base = lane_of * L + pos_of
+                win = rows_flat[jnp.clip(base[:, None] + karange[None, :], 0, Cn * L - 1)]
+                res = search_batch(index, win)
+                return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
+
+        n_st = (sc + cs_ - 1) // cs_
         new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
         return a.at[lanes].set(new_rows, mode="drop")
 

@@ -31,9 +31,9 @@ def sb():
     return _mk(seqs, 12, 7)
 
 
-@pytest.fixture(scope="module")
-def turbo(sb):
-    return build_turbo(sb.device_index)
+@pytest.fixture(scope="module", params=[2, 3])
+def turbo(sb, request):
+    return build_turbo(sb.device_index, arity=request.param)
 
 
 def test_fast_search_matches_search(sb, turbo):
@@ -92,12 +92,13 @@ def test_enable_turbo_api(sb):
         sb._turbo = None
 
 
-@pytest.mark.parametrize("k,p", [(8, 8), (9, 4), (16, 7)])
-def test_turbo_odd_tail_lengths(k, p):
-    """k - p odd and k == p exercise the single-step tail."""
+@pytest.mark.parametrize("arity", [2, 3])
+@pytest.mark.parametrize("k,p", [(8, 8), (9, 4), (16, 7), (14, 3), (15, 4)])
+def test_turbo_odd_tail_lengths(k, p, arity):
+    """k - p mod arity in {0,1,2} and k == p exercise the partial tail."""
     rng = np.random.default_rng(k * 10 + p)
     sb = _mk(["".join(rng.choice(list("ACGT"), size=600))], k, p)
-    turbo = build_turbo(sb.device_index)
+    turbo = build_turbo(sb.device_index, arity=arity)
     reads = ["".join(rng.choice(list("ACGT"), size=k + 11)) for _ in range(8)]
     src = "".join(rng.choice(list("ACGT"), size=600))
     codes = np.stack([encode_query(r) for r in reads]).astype(np.int32)
@@ -105,5 +106,31 @@ def test_turbo_odd_tail_lengths(k, p):
     ref = sb.streaming_search_batch(codes, lengths)
     got = np.asarray(
         turbo_streaming_jit(turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths))
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("arity", [2, 3])
+def test_turbo_deep_slow_path(arity):
+    """Tiny precalc (p=2) makes most seeds non-singleton: the exact-LF
+    fallback (seed interval + packed-window LF steps, rem > 16 so both
+    packed words are exercised) must carry the whole load."""
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), size=1500))]
+    sb = _mk(seqs, 20, 2)  # rem = 18
+    turbo = build_turbo(sb.device_index, arity=arity)
+    reads = [seqs[0][i * 37 : i * 37 + 70] for i in range(8)]
+    reads += ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(8)]
+    reads.append(seqs[0][:30] + "N" + seqs[0][40:70])
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), -1, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_query(r)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    ref = sb.streaming_search_batch(codes, lengths)
+    got = np.asarray(
+        turbo_streaming_jit(
+            turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
     )
     np.testing.assert_array_equal(got, ref)
