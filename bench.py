@@ -61,9 +61,11 @@ def main():
     genome_codes = make_corpus_codes()
     write_log(f"bench: building k={k} index over {len(genome_codes)/1e6:.1f} Mbp")
     t0 = time.perf_counter()
-    # p=12 > log4(n): precalc seeds are singletons/empty, which makes the
-    # turbo fast path cover essentially all restarts
-    sbwt = SBWT.build([genome_codes], k, precalc_k=12)
+    # p=13 >> log4(n): 94% of random seeds are empty and only 0.17% of
+    # positions hit a non-singleton seed (vs 2.4% at p=12), so the turbo
+    # fast path covers essentially all restarts and the pos0 LF fallback
+    # shrinks 4x (21% -> 5.8% of genomic first k-mers)
+    sbwt = SBWT.build([genome_codes], k, precalc_k=13)
     build_s = time.perf_counter() - t0
     write_log(
         f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "

@@ -63,6 +63,17 @@ def build_sbwt_external(
     else:
         W = 1
 
+    from ..utils.logging import LogLevel, get_log_level
+    from ..utils.profiling import ProgressPrinter
+
+    n_seqs = (2 if add_reverse_complements else 1) * (
+        len(seqs) if hasattr(seqs, "__len__") else 0
+    )
+    progress = (
+        ProgressPrinter(n_seqs)
+        if n_seqs and get_log_level() >= LogLevel.MAJOR
+        else None
+    )
     n_windows = 0
     with open(raw, "wb") as f:
         for codes in _iter_code_chunks(seqs, add_reverse_complements):
@@ -74,6 +85,8 @@ def build_sbwt_external(
                 kept = np.ascontiguousarray(vals[valid])
                 kept.tofile(f)
                 n_windows += len(kept)
+            if progress is not None:
+                progress.job_done()
     write_log(f"external build: spilled {n_windows} k-mer records")
 
     native.em_sort_records_file(

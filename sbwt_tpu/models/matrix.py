@@ -189,21 +189,21 @@ def with_precalc(index: MatrixIndex, precalc_k: int) -> MatrixIndex:
         return dataclasses.replace(
             index, precalc=jnp.zeros((1, 2), dtype=jnp.int32), precalc_k=0
         )
-    if p > 12:
-        raise ValueError("precalc_k > 12 not supported (table would exceed 128 MiB)")
+    if p > 13:
+        raise ValueError("precalc_k > 13 not supported (table would exceed 512 MiB)")
     if p > index.k:
         raise ValueError(f"precalc_k {p} > k {index.k}")
     base = dataclasses.replace(
         index, precalc=jnp.zeros((1, 2), dtype=jnp.int32), precalc_k=0
     )
     n_entries = 4**p
-    ids = np.arange(n_entries, dtype=np.int64)
-    codes = np.empty((n_entries, p), dtype=np.int32)
-    for i in range(p):
-        codes[:, i] = (ids >> (2 * i)) & 3
+    # codes synthesized ON DEVICE: a host [4^p, p] array would be GBs of
+    # upload at p >= 12 (the axon tunnel makes that minutes-slow)
+    ids = jnp.arange(n_entries, dtype=jnp.int32)
+    codes = jnp.stack([(ids >> (2 * i)) & 3 for i in range(p)], axis=1)
     l0 = jnp.zeros(n_entries, dtype=jnp.int32)
     r0 = jnp.full(n_entries, index.n_nodes - 1, dtype=jnp.int32)
-    l, r, alive = update_interval_jit(base, jnp.asarray(codes), l0, r0)
+    l, r, alive = update_interval_jit(base, codes, l0, r0)
     tbl = jnp.stack(
         [jnp.where(alive, l, -1), jnp.where(alive, r, -1)], axis=1
     ).astype(jnp.int32)

@@ -280,13 +280,19 @@ def _lf_from_seeds(index, l0, r0, pw, rem):
     return jnp.where(alive, l, -1)
 
 
+def _clamp_pow2(x, lo, hi):
+    """Largest power of two <= max(x, lo), capped at hi (static python)."""
+    v = max(lo, min(x, hi))
+    return 1 << (int(v).bit_length() - 1)
+
+
 def turbo_streaming_search(
     turbo: TurboIndex,
     index,
     codes,
     lengths=None,
-    chunk_lanes=8192,
-    chunk_slow=8192,
+    chunk_lanes=None,
+    chunk_slow=None,
 ):
     """Exact streaming search via the successor table.
 
@@ -294,6 +300,12 @@ def turbo_streaming_search(
     int32 [B, P], P = L - k + 1, equal to per-k-mer search at every
     position.  `index` is the base device index, used only for the rare
     exact-LF fallback lanes (non-singleton precalc seeds).
+
+    All fallback loops are count-adaptive: work lists are cumsum-
+    compacted and consumed in chunks sized to keep the gather units at
+    high occupancy (dependent-gather throughput keeps climbing with
+    batch size, docs/DESIGN.md §1), with trip counts derived from the
+    actual counts.
     """
     from .search import compact_indices, search_batch
 
@@ -307,18 +319,53 @@ def turbo_streaming_search(
     # per-step slices are cast on the fly — at multi-million-read batches
     # an up-front int32 copy of the whole batch costs GBs of HBM.
 
-    # ---- position 0: fast singleton search on every lane --------------
-    ans0, slow0 = fast_search(turbo, codes[:, :k])
-    # exact fallback for non-singleton seeds at position 0 (must resolve
-    # before the chain can start)
-    work0, n_slow0 = compact_indices(slow0)
-    c0 = min(chunk_slow, B)
+    # ---- position 0: singleton-seed search on every lane ---------------
+    # (inlined fast_search so the seed intervals are available for the
+    # packed-window LF fallback below)
+    cc0 = codes[:, :k].astype(jnp.int32)
+    valid0 = jnp.all((cc0 >= 0) & (cc0 < 4), axis=-1)
+    cc0 = jnp.clip(cc0, 0) & 3
+    weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
+    pidx0 = jnp.sum(cc0[:, :p] * weights, axis=-1)
+    seed0 = turbo.precalc[pidx0]
+    l0s, r0s = seed0[:, 0], seed0[:, 1]
+    dead0 = (l0s < 0) | ~valid0
+    slow0 = ~dead0 & (l0s != r0s)
+    col0 = jnp.where(dead0, -1, l0s)
+    col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
+    ans0 = jnp.where(slow0, -1, col0)
 
-    def body0(i, a0):
-        sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
-        win = codes[jnp.clip(sel, 0, B - 1), :k].astype(jnp.int32)
-        res = search_batch(index, win)
-        return a0.at[sel].set(res, mode="drop")
+    # exact fallback for non-singleton seeds at position 0 (must resolve
+    # before the chain can start); count-adaptive chunks
+    work0, n_slow0 = compact_indices(slow0)
+    c0 = _clamp_pow2(B // 8, 8192, 1 << 18) if chunk_slow is None else chunk_slow
+    c0 = min(c0, B)
+
+    if use_pw:
+        ccu0 = cc0.astype(jnp.uint32)
+        lo = jnp.zeros((B,), dtype=jnp.uint32)
+        hi = jnp.zeros((B,), dtype=jnp.uint32)
+        for j in range(rem):
+            w = ccu0[:, p + j]
+            if j < 16:
+                lo = lo | (w << np.uint32(2 * j))
+            else:
+                hi = hi | (w << np.uint32(2 * (j - 16)))
+        pw0 = jnp.stack([lo, hi], axis=-1)
+
+        def body0(i, a0):
+            sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
+            selc = jnp.clip(sel, 0, B - 1)
+            res = _lf_from_seeds(index, l0s[selc], r0s[selc], pw0[selc], rem)
+            return a0.at[sel].set(res, mode="drop")
+
+    else:
+
+        def body0(i, a0):
+            sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
+            win = codes[jnp.clip(sel, 0, B - 1), :k].astype(jnp.int32)
+            res = search_batch(index, win)
+            return a0.at[sel].set(res, mode="drop")
 
     n0 = (n_slow0 + c0 - 1) // c0
     ans0 = lax.fori_loop(0, n0, body0, ans0)
@@ -358,8 +405,15 @@ def turbo_streaming_search(
 
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
-    Cn = min(chunk_lanes, B)
-    cs_ = min(chunk_slow, Cn * P)
+    Cn = _clamp_pow2(B // 16, 8192, 1 << 16) if chunk_lanes is None else min(chunk_lanes, B)
+    Cn = min(Cn, B)
+    # expected live fractions (docs/DESIGN.md: p >= 13 keeps non-singleton
+    # seeds ~0.2% and live singletons ~6% of random-read positions) size
+    # the fallback chunks: small enough that the pad is cheap, big enough
+    # that one trip normally suffices
+    cs_ = _clamp_pow2(Cn * P // 64, 8192, 1 << 16) if chunk_slow is None else chunk_slow
+    cs_ = min(cs_, Cn * P)
+    Ww = min(_clamp_pow2(Cn * P // 16, 8192, 1 << 18), Cn * P)  # walk-chunk width
 
     def lane_body(i, a):
         lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
@@ -370,19 +424,39 @@ def turbo_streaming_search(
         dead = (l0 < 0) | ~vwin
         singleton = l0 == r0
         needs_slow = ~dead & ~singleton & un
-        col = jnp.where(dead | ~un, -1, l0)  # walk only unresolved live
-        col = _walk_rem(
-            turbo, col, lambda j: jnp.clip(rows[:, p + j : p + j + P], 0) & 3, rem
-        )
-        # fast results at unresolved non-slow positions; keep the rest
-        new_rows = jnp.where(un & ~needs_slow, col, a[safe])
+        walkable = ~dead & singleton & un
 
-        # exact LF fallback for this chunk's non-singleton seeds (rare):
-        # seed interval + rem LF steps, window chars from ONE packed gather
-        sw, sc = compact_indices(needs_slow)  # flat over Cn*P
+        # dead unresolved positions answer -1 outright; walk/slow scatter
+        # their results on top
+        new_rows = jnp.where(un & ~needs_slow & ~walkable, -1, a[safe])
+        l0f, r0f = l0.ravel(), r0.ravel()
+
         if use_pw:
+            # compacted walking: only live-singleton positions issue
+            # gathers (most positions of a random read are dead at the
+            # seed), with window chars from one packed fused row
             pw = _pack_rem(rows, P, k, p).reshape(Cn * P, 2)
-            l0f, r0f = l0.ravel(), r0.ravel()
+            ww_list, wc = compact_indices(walkable)
+
+            def walk_body(t, nr):
+                sel = lax.dynamic_slice(ww_list, (t * Ww,), (Ww,))
+                selc = jnp.clip(sel, 0, Cn * P - 1)
+                pws = pw[selc]
+
+                def char_fn(j):
+                    w = pws[..., 0] if j < 16 else pws[..., 1]
+                    return ((w >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
+                        jnp.int32
+                    )
+
+                col = _walk_rem(turbo, l0f[selc], char_fn, rem)
+                return nr.ravel().at[sel].set(col, mode="drop").reshape(Cn, P)
+
+            n_wt = (wc + Ww - 1) // Ww
+            new_rows = lax.fori_loop(0, n_wt, walk_body, new_rows)
+
+            # exact LF fallback for non-singleton seeds (rare)
+            sw, sc = compact_indices(needs_slow)
 
             def slow_body(t, nr):
                 sel = lax.dynamic_slice(sw, (t * cs_,), (cs_,))
@@ -390,7 +464,17 @@ def turbo_streaming_search(
                 res = _lf_from_seeds(index, l0f[selc], r0f[selc], pw[selc], rem)
                 return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
+            n_st = (sc + cs_ - 1) // cs_
+            new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
         else:
+            # wide windows (k - p > 32): lockstep masked walk + full
+            # re-search fallback
+            col = jnp.where(walkable, l0, -1)
+            col = _walk_rem(
+                turbo, col, lambda j: jnp.clip(rows[:, p + j : p + j + P], 0) & 3, rem
+            )
+            new_rows = jnp.where(walkable, col, new_rows)
+            sw, sc = compact_indices(needs_slow)
             rows_flat = rows.ravel()
             karange = jnp.arange(k, dtype=jnp.int32)
 
@@ -403,8 +487,9 @@ def turbo_streaming_search(
                 res = search_batch(index, win)
                 return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
-        n_st = (sc + cs_ - 1) // cs_
-        new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
+            n_st = (sc + cs_ - 1) // cs_
+            new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
+
         return a.at[lanes].set(new_rows, mode="drop")
 
     n_lane_iters = (n_dirty + Cn - 1) // Cn
