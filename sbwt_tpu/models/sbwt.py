@@ -164,7 +164,14 @@ class SBWT:
         'auto' (external when the k-mer record spill would exceed half the
         RAM budget — the reference always goes through KMC+disk)."""
         if method == "auto":
-            est = sum(len(s) for s in seqs) * 8 * (2 if add_reverse_complements else 1)
+            from ..utils import kmers_wide as _kw
+
+            rec_bytes = 8 * _kw.n_words(k)  # wide k-mers spill W-word records
+            est = (
+                sum(len(s) for s in seqs)
+                * rec_bytes
+                * (2 if add_reverse_complements else 1)
+            )
             method = "external" if est > ram_bytes // 2 else "memory"
         if method == "external":
             from ..construct.external import build_sbwt_external

@@ -255,8 +255,12 @@ static inline int cmp_rec(const uint64_t *a, const uint64_t *b, int W) {
     return 0;
 }
 
-static int cmp_rec_qsort(const void *a, const void *b, void *ctx) {
-    return cmp_rec(a, b, (int)(intptr_t)ctx);
+/* Per-thread record width for the plain-qsort comparator (portable:
+ * GNU and BSD disagree on the qsort_r signature). */
+static _Thread_local int tls_W;
+
+static int cmp_rec_qsort(const void *a, const void *b) {
+    return cmp_rec(a, b, tls_W);
 }
 
 typedef struct {
@@ -270,6 +274,7 @@ typedef struct {
     JobW *jobs;
     int n_jobs;
     int next;
+    int err;
     pthread_mutex_t mu;
 } PoolW;
 
@@ -281,13 +286,18 @@ static void *worker_w(void *arg) {
         pthread_mutex_unlock(&p->mu);
         if (i < 0) return NULL;
         JobW *j = &p->jobs[i];
-        qsort_r(j->data, j->n, j->W * sizeof(uint64_t), cmp_rec_qsort,
-                (void *)(intptr_t)j->W);
+        tls_W = j->W;
+        qsort(j->data, j->n, j->W * sizeof(uint64_t), cmp_rec_qsort);
         FILE *f = fopen(j->path, "wb");
-        fwrite(j->data, j->W * sizeof(uint64_t), j->n, f);
-        fclose(f);
+        int64_t wrote = f ? (int64_t)fwrite(j->data, j->W * sizeof(uint64_t), j->n, f) : -1;
+        if (f) fclose(f);
         free(j->data);
         j->data = NULL;
+        if (wrote != j->n) {
+            pthread_mutex_lock(&p->mu);
+            p->err = 1;
+            pthread_mutex_unlock(&p->mu);
+        }
     }
 }
 
@@ -369,14 +379,16 @@ int em_sort_u64w(const char *in_path, const char *out_path,
     FILE *in = fopen(in_path, "rb");
     if (!in) return -1;
     size_t rec = W * sizeof(uint64_t);
-    int64_t block = ram_bytes / n_threads;
+    /* 2x headroom: glibc qsort may mergesort via an O(n) scratch buffer */
+    int64_t block = ram_bytes / (2 * n_threads);
     if (block < (int64_t)(1 << 20)) block = 1 << 20;
     int64_t block_recs = block / rec;
 
     JobW *jobs = NULL;
-    int n_jobs = 0, cap_jobs = 0;
+    int n_jobs = 0, cap_jobs = 0, sort_err = 0;
     for (;;) {
         uint64_t *data = malloc(block_recs * rec);
+        if (!data) { sort_err = 1; break; }
         int64_t n = fread(data, rec, block_recs, in);
         if (n <= 0) { free(data); break; }
         if (n_jobs == cap_jobs) {
@@ -390,22 +402,29 @@ int em_sort_u64w(const char *in_path, const char *out_path,
         snprintf(j->path, sizeof(j->path), "%s/emsortw_run_%d.bin", tmp_dir, n_jobs);
         n_jobs++;
         if (n_jobs % n_threads == 0) {
-            PoolW p = {jobs + n_jobs - n_threads, n_threads, 0,
+            PoolW p = {jobs + n_jobs - n_threads, n_threads, 0, 0,
                        PTHREAD_MUTEX_INITIALIZER};
             pthread_t th[256];
             int nt = n_threads > 256 ? 256 : n_threads;
             for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
             for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+            if (p.err) { sort_err = 1; break; }
         }
     }
     fclose(in);
     int tail = n_jobs % n_threads;
-    if (tail) {
-        PoolW p = {jobs + n_jobs - tail, tail, 0, PTHREAD_MUTEX_INITIALIZER};
+    if (tail && !sort_err) {
+        PoolW p = {jobs + n_jobs - tail, tail, 0, 0, PTHREAD_MUTEX_INITIALIZER};
         pthread_t th[256];
         int nt = tail > 256 ? 256 : tail;
         for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
         for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+        if (p.err) sort_err = 1;
+    }
+    if (sort_err) {
+        for (int i = 0; i < n_jobs; i++) { free(jobs[i].data); remove(jobs[i].path); }
+        free(jobs);
+        return -1;
     }
     if (n_jobs == 0) {
         FILE *out = fopen(out_path, "wb");

@@ -108,17 +108,33 @@ def _triple_chunk(succ, start, chunk):
     return quad.transpose(3, 2, 1, 0, 4).reshape(m * 64, 4)
 
 
+@partial(jax.jit, static_argnames=("n_chunks", "chunk", "arity"))
+def _build_tbl_jit(succ_p, n_chunks, chunk, arity):
+    """Chunked table build into a preallocated buffer: the fori_loop
+    carry aliases in place, so peak HBM is the final table plus ONE
+    chunk part (a concatenate of all parts would transiently double
+    the multi-GB arity-3 table)."""
+    fn = _pair_chunk.__wrapped__ if arity == 2 else _triple_chunk.__wrapped__
+    rows_per_col = 4**arity
+    width = 2 if arity == 2 else 4
+    tbl = jnp.zeros((n_chunks * chunk * rows_per_col, width), dtype=jnp.int32)
+
+    def body(i, tbl):
+        part = fn(succ_p, i * chunk, chunk)
+        return lax.dynamic_update_slice(tbl, part, (i * chunk * rows_per_col, 0))
+
+    return lax.fori_loop(0, n_chunks, body, tbl)
+
+
 def _build_tbl(index, arity: int, chunk: int):
     succ = _succ1_jit(index)  # [4, n] int32
     n = succ.shape[1]
-    fn = _pair_chunk if arity == 2 else _triple_chunk
-    rows_per_col = 4**arity
-    if n <= chunk:
-        return fn(jnp.pad(succ, ((0, 0), (0, chunk - n))), 0, chunk)[: n * rows_per_col]
-    n_pad = -(-n // chunk) * chunk
+    n_pad = max(chunk, -(-n // chunk) * chunk)
     succ_p = jnp.pad(succ, ((0, 0), (0, n_pad - n)))
-    parts = [fn(succ_p, s, chunk) for s in range(0, n_pad, chunk)]
-    return jnp.concatenate(parts)[: n * rows_per_col]
+    # The table keeps its pad rows (<= chunk columns' worth): they are
+    # never gathered (every index is col*4^A + ... with col < n), and
+    # slicing them off would transiently double the multi-GB buffer.
+    return _build_tbl_jit(succ_p, n_pad // chunk, chunk, arity)
 
 
 def build_turbo(index, arity: int = 2) -> TurboIndex:
@@ -342,16 +358,7 @@ def turbo_streaming_search(
     c0 = min(c0, B)
 
     if use_pw:
-        ccu0 = cc0.astype(jnp.uint32)
-        lo = jnp.zeros((B,), dtype=jnp.uint32)
-        hi = jnp.zeros((B,), dtype=jnp.uint32)
-        for j in range(rem):
-            w = ccu0[:, p + j]
-            if j < 16:
-                lo = lo | (w << np.uint32(2 * j))
-            else:
-                hi = hi | (w << np.uint32(2 * (j - 16)))
-        pw0 = jnp.stack([lo, hi], axis=-1)
+        pw0 = _pack_rem(cc0, 1, k, p).reshape(B, 2)
 
         def body0(i, a0):
             sel = lax.dynamic_slice(work0, (i * c0,), (c0,))

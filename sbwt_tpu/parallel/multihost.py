@@ -88,11 +88,18 @@ def global_batch_from_local(local: np.ndarray, mesh: Mesh, pad_to: int | None = 
 
 
 def local_shard(global_array) -> np.ndarray:
-    """This host's rows of a data-sharded global result, in order."""
-    shards = sorted(
-        global_array.addressable_shards, key=lambda s: s.index[0].start or 0
+    """This host's rows of a data-sharded global result, in order.
+
+    Replicated copies (e.g. over a model axis) are deduplicated by row
+    range — each range contributes exactly once."""
+    by_start = {}
+    for s in global_array.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = s
+    return np.concatenate(
+        [np.asarray(by_start[st].data) for st in sorted(by_start)]
     )
-    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def replicate_index_global(index: MatrixIndex, mesh: Mesh) -> MatrixIndex:

@@ -25,7 +25,7 @@ from .logging import write_log
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, with_memory: bool = False):
+def trace(log_dir: str):
     """Capture a device trace of the enclosed block into `log_dir`."""
     import jax
 
@@ -55,7 +55,6 @@ class ThroughputMeter:
         self.n_queries = 0
         self.device_s = 0.0
         self._t_start = time.perf_counter()
-        self._t_mark = None
 
     @contextlib.contextmanager
     def measure(self, n_queries: int):

@@ -71,3 +71,16 @@ def test_all_hosts_agree_single_process():
 
 def test_init_multihost_single_process_noop():
     multihost.init_multihost(num_processes=1)
+
+
+def test_local_shard_dedups_model_axis_replicas():
+    """P('data', None)-sharded arrays on a (data, model>1) mesh replicate
+    each row range across the model axis; local_shard must return every
+    range exactly once."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = sharded.make_mesh(n_data=4, n_model=2)
+    x = np.arange(32, dtype=np.int32).reshape(16, 2)
+    g = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data", None)))
+    assert np.array_equal(multihost.local_shard(g), x)
