@@ -408,6 +408,31 @@ class SBWT:
                 colex_rank = ss.select(rel, char_idx)
         return "".join(buf)
 
+    def get_kmers_batch(self, colex_ranks) -> list[str]:
+        """Labels of many columns at once: the vectorized counterpart of
+        get_kmer_fast (SBWT.hh:729-746) — k rounds of batched
+        searchsorted + select over the whole column set."""
+        ss = self.select_support()
+        C = self.C
+        cur = np.asarray(colex_ranks, dtype=np.int64).copy()
+        out = np.full((len(cur), self.k), ord("$"), dtype=np.uint8)
+        for i in range(self.k):
+            nz = np.flatnonzero(cur > 0)
+            if len(nz) == 0:
+                break
+            ci = np.searchsorted(C, cur[nz], side="right") - 1
+            out[nz, self.k - 1 - i] = CODE_TO_CHAR[ci]
+            rel = cur[nz] - C[ci] + 1  # 1-based rank within character block
+            nxt = np.empty(len(nz), dtype=np.int64)
+            for c in range(4):
+                m = ci == c
+                if m.any():
+                    nxt[m] = ss.positions[c][rel[m] - 1]
+            nxt_cur = np.zeros_like(cur)
+            nxt_cur[nz] = nxt
+            cur = nxt_cur
+        return [bytes(row).decode("ascii") for row in out]
+
     def ascii_export_metadata(self) -> str:
         """Metadata block of `sbwt ascii-export` (SBWT.hh:777-784)."""
         from ..io.serialize import SBWT_VERSION

@@ -206,3 +206,12 @@ def test_large_random_differential():
     # streaming over the original sequences: all positions found
     got = sbwt.streaming_search(seqs[0])
     assert all(a >= 0 for a in got)
+
+
+def test_get_kmers_batch_matches_scalar():
+    sbwt = SBWT.build(SEQS, 5)
+    ss = sbwt.select_support()
+    cols = list(range(sbwt.number_of_subsets()))
+    batch = sbwt.get_kmers_batch(cols)
+    for col in cols:
+        assert batch[col] == sbwt.get_kmer_fast(col, ss)
