@@ -86,6 +86,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int,
         ]
+        lib.em_sort_varlen.restype = ctypes.c_int
+        lib.em_sort_varlen.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -226,6 +231,55 @@ def em_sort_records_file(in_path: str, out_path: str, tmp_dir: str, n_words: int
     )
     if rc != 0:
         raise RuntimeError(f"em_sort_u64w failed with code {rc}")
+
+
+def em_sort_varlen_file(in_path: str, out_path: str, tmp_dir: str,
+                        ram_bytes: int = 1 << 30, n_threads: int = 4) -> None:
+    """Sort a file of variable-length records (u64 LE payload length +
+    payload bytes) in bytewise-lexicographic payload order, matching the
+    reference's EM_sort_variable_length_records capability
+    (EM_sort.cpp:195-212)."""
+    lib = get_lib()
+    if lib is None:
+        recs = read_varlen_records(in_path)
+        recs.sort()
+        write_varlen_records(out_path, recs)
+        return
+    rc = lib.em_sort_varlen(
+        in_path.encode(), out_path.encode(), tmp_dir.encode(),
+        int(ram_bytes), int(n_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"em_sort_varlen failed with code {rc}")
+
+
+def read_varlen_records(path: str) -> list[bytes]:
+    """Read all length-prefixed records of a varlen file (host helper)."""
+    import struct
+
+    recs = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(8)
+            if not hdr:
+                break
+            if len(hdr) != 8:
+                raise IOError("truncated varlen record header")
+            (ln,) = struct.unpack("<Q", hdr)
+            payload = f.read(ln)
+            if len(payload) != ln:
+                raise IOError("truncated varlen record payload")
+            recs.append(payload)
+    return recs
+
+
+def write_varlen_records(path: str, recs: list[bytes]) -> None:
+    import struct
+
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(struct.pack("<Q", len(r)))
+            f.write(r)
 
 
 def em_dedup_count_records_file(in_path: str, out_path: str, n_words: int,

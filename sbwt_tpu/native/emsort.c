@@ -510,6 +510,285 @@ int64_t em_dedup_count_u64w(const char *in_path, const char *out_path,
     return kept;
 }
 
+/* ------------------------------------------------------------------ */
+/* Variable-length records (EM_sort_variable_length_records equivalent,*/
+/* EM_sort.cpp:195-212 + Block.hh variable blocks). Record framing:    */
+/* u64 LE payload length, then payload bytes. Order: bytewise          */
+/* lexicographic on the payload, with a proper prefix sorting first    */
+/* (memcmp on min length, then shorter-first) — the natural generic    */
+/* comparator, matching Python bytes ordering for the test oracle.     */
+/* ------------------------------------------------------------------ */
+
+static inline int cmp_varlen(const char *a, const char *b) {
+    uint64_t la, lb;
+    memcpy(&la, a, 8);
+    memcpy(&lb, b, 8);
+    uint64_t m = la < lb ? la : lb;
+    int c = memcmp(a + 8, b + 8, m);
+    if (c) return c;
+    return (la > lb) - (la < lb);
+}
+
+static _Thread_local const char *tls_vbase;
+
+static int cmp_varlen_qsort(const void *x, const void *y) {
+    return cmp_varlen(tls_vbase + *(const int64_t *)x,
+                      tls_vbase + *(const int64_t *)y);
+}
+
+typedef struct {
+    char *data;      /* raw block of framed records */
+    int64_t *offs;   /* record start offsets within data */
+    int64_t n_recs;
+    char path[4096];
+} JobV;
+
+typedef struct {
+    JobV *jobs;
+    int n_jobs;
+    int next;
+    int err;
+    pthread_mutex_t mu;
+} PoolV;
+
+static void *worker_v(void *arg) {
+    PoolV *p = arg;
+    for (;;) {
+        pthread_mutex_lock(&p->mu);
+        int i = p->next < p->n_jobs ? p->next++ : -1;
+        pthread_mutex_unlock(&p->mu);
+        if (i < 0) return NULL;
+        JobV *j = &p->jobs[i];
+        /* sort an index of record starts, like the reference's variable
+         * Block (Block.hh:120-125), then write records in that order */
+        tls_vbase = j->data;
+        qsort(j->offs, j->n_recs, sizeof(int64_t), cmp_varlen_qsort);
+        FILE *f = fopen(j->path, "wb");
+        int ok = f != NULL;
+        for (int64_t r = 0; ok && r < j->n_recs; r++) {
+            const char *rec = j->data + j->offs[r];
+            uint64_t len;
+            memcpy(&len, rec, 8);
+            ok = fwrite(rec, 1, 8 + len, f) == 8 + len;
+        }
+        if (f) fclose(f);
+        free(j->data);
+        free(j->offs);
+        j->data = NULL;
+        if (!ok) {
+            pthread_mutex_lock(&p->mu);
+            p->err = 1;
+            pthread_mutex_unlock(&p->mu);
+        }
+    }
+}
+
+/* merge cursor: one materialized record per run */
+typedef struct {
+    FILE *f;
+    char *rec;      /* framed record (header + payload), growable */
+    size_t cap;
+    int alive;
+} RunV;
+
+static int runv_advance(RunV *r) {
+    uint64_t len;
+    if (fread(&len, 1, 8, r->f) != 8) { r->alive = 0; return 0; }
+    if (8 + len > r->cap) {
+        r->cap = 2 * (8 + len);
+        r->rec = realloc(r->rec, r->cap);
+    }
+    memcpy(r->rec, &len, 8);
+    if (len && fread(r->rec + 8, 1, len, r->f) != len) { r->alive = 0; return 0; }
+    return 1;
+}
+
+typedef struct { const char *key; int run; } HeapItemV;
+
+static void heapv_down(HeapItemV *h, int n, int i) {
+    for (;;) {
+        int l = 2 * i + 1, r = 2 * i + 2, m = i;
+        if (l < n && cmp_varlen(h[l].key, h[m].key) < 0) m = l;
+        if (r < n && cmp_varlen(h[r].key, h[m].key) < 0) m = r;
+        if (m == i) return;
+        HeapItemV t = h[i]; h[i] = h[m]; h[m] = t;
+        i = m;
+    }
+}
+
+static int merge_runs_v(char **paths, int n_runs, const char *out_path) {
+    RunV *runs = calloc(n_runs, sizeof(RunV));
+    HeapItemV *heap = malloc(n_runs * sizeof(HeapItemV));
+    int hn = 0;
+    for (int i = 0; i < n_runs; i++) {
+        runs[i].f = fopen(paths[i], "rb");
+        if (!runs[i].f) return -1;
+        runs[i].cap = 1 << 12;
+        runs[i].rec = malloc(runs[i].cap);
+        runs[i].alive = 1;
+        if (runv_advance(&runs[i]))
+            heap[hn++] = (HeapItemV){runs[i].rec, i};
+    }
+    for (int i = hn / 2 - 1; i >= 0; i--) heapv_down(heap, hn, i);
+    FILE *out = fopen(out_path, "wb");
+    if (!out) return -1;
+    while (hn > 0) {
+        uint64_t len;
+        memcpy(&len, heap[0].key, 8);
+        if (fwrite(heap[0].key, 1, 8 + len, out) != 8 + len) return -1;
+        RunV *r = &runs[heap[0].run];
+        if (runv_advance(r)) heap[0].key = r->rec; /* realloc may move it */
+        else heap[0] = heap[--hn];
+        heapv_down(heap, hn, 0);
+    }
+    fclose(out);
+    for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].rec); }
+    free(runs); free(heap);
+    return 0;
+}
+
+/* Sort a file of length-prefixed variable records. Same producer /
+ * worker-pool / iterative <=512-way merge structure as em_sort_u64. */
+int em_sort_varlen(const char *in_path, const char *out_path,
+                   const char *tmp_dir, int64_t ram_bytes, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    FILE *in = fopen(in_path, "rb");
+    if (!in) return -1;
+    int64_t block = ram_bytes / (2 * n_threads);
+    if (block < (int64_t)(1 << 16)) block = 1 << 16;
+
+    JobV *jobs = NULL;
+    int n_jobs = 0, cap_jobs = 0, sort_err = 0, read_err = 0;
+    for (;;) {
+        /* fill one block, respecting record boundaries; grow past the
+         * block size if a single record alone exceeds it */
+        int64_t cap = block, used = 0;
+        char *data = malloc(cap);
+        int64_t rcap = 1024, n_recs = 0;
+        int64_t *offs = malloc(rcap * sizeof(int64_t));
+        for (;;) {
+            uint64_t len;
+            size_t got = fread(&len, 1, 8, in);
+            if (got == 0) break;
+            if (got != 8) { read_err = 1; break; }
+            if (used + 8 + (int64_t)len > cap) {
+                if (n_recs > 0 && used + 8 + (int64_t)len > block) {
+                    /* push back the header for the next block */
+                    fseek(in, -8, SEEK_CUR);
+                    break;
+                }
+                while (used + 8 + (int64_t)len > cap) cap *= 2;
+                data = realloc(data, cap);
+            }
+            memcpy(data + used, &len, 8);
+            if (len && fread(data + used + 8, 1, len, in) != len) {
+                read_err = 1;
+                break;
+            }
+            if (n_recs == rcap) {
+                rcap *= 2;
+                offs = realloc(offs, rcap * sizeof(int64_t));
+            }
+            offs[n_recs++] = used;
+            used += 8 + len;
+            if (used >= block) break;
+        }
+        if (n_recs == 0 || read_err) {
+            free(data);
+            free(offs);
+            break;
+        }
+        if (n_jobs == cap_jobs) {
+            cap_jobs = cap_jobs ? cap_jobs * 2 : 16;
+            jobs = realloc(jobs, cap_jobs * sizeof(JobV));
+        }
+        JobV *j = &jobs[n_jobs];
+        j->data = data;
+        j->offs = offs;
+        j->n_recs = n_recs;
+        snprintf(j->path, sizeof(j->path), "%s/emsortv_run_%d.bin", tmp_dir, n_jobs);
+        n_jobs++;
+        if (n_jobs % n_threads == 0) {
+            PoolV p = {jobs + n_jobs - n_threads, n_threads, 0, 0,
+                       PTHREAD_MUTEX_INITIALIZER};
+            pthread_t th[256];
+            int nt = n_threads > 256 ? 256 : n_threads;
+            for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_v, &p);
+            for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+            if (p.err) { sort_err = 1; break; }
+        }
+    }
+    fclose(in);
+    if (read_err) {
+        for (int i = 0; i < n_jobs; i++) {
+            free(jobs[i].data);
+            free(jobs[i].offs);
+            remove(jobs[i].path);
+        }
+        free(jobs);
+        return -1;
+    }
+    int tail = n_jobs % n_threads;
+    if (tail && !sort_err) {
+        PoolV p = {jobs + n_jobs - tail, tail, 0, 0, PTHREAD_MUTEX_INITIALIZER};
+        pthread_t th[256];
+        int nt = tail > 256 ? 256 : tail;
+        for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_v, &p);
+        for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+        if (p.err) sort_err = 1;
+    }
+    if (sort_err) {
+        for (int i = 0; i < n_jobs; i++) {
+            free(jobs[i].data);
+            free(jobs[i].offs);
+            remove(jobs[i].path);
+        }
+        free(jobs);
+        return -1;
+    }
+    if (n_jobs == 0) {
+        FILE *out = fopen(out_path, "wb");
+        if (!out) { free(jobs); return -1; }
+        fclose(out);
+        free(jobs);
+        return 0;
+    }
+
+    char **cur = malloc(n_jobs * sizeof(char *));
+    for (int i = 0; i < n_jobs; i++) cur[i] = strdup(jobs[i].path);
+    int n_cur = n_jobs, gen = 0;
+    free(jobs);
+    while (n_cur > 1) {
+        int n_next = (n_cur + MAX_WAY - 1) / MAX_WAY;
+        char **next = malloc(n_next * sizeof(char *));
+        for (int g = 0; g < n_next; g++) {
+            int lo = g * MAX_WAY;
+            int hi = lo + MAX_WAY < n_cur ? lo + MAX_WAY : n_cur;
+            char path[4096];
+            snprintf(path, sizeof(path), "%s/emsortv_merge_%d_%d.bin", tmp_dir,
+                     gen, g);
+            if (merge_runs_v(cur + lo, hi - lo, path)) return -1;
+            next[g] = strdup(path);
+            for (int i = lo; i < hi; i++) { remove(cur[i]); free(cur[i]); }
+        }
+        free(cur);
+        cur = next;
+        n_cur = n_next;
+        gen++;
+    }
+    remove(out_path);
+    if (rename(cur[0], out_path)) {
+        FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
+        if (!a || !b) return -1;
+        char buf[1 << 16]; size_t n;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
+        fclose(a); fclose(b);
+        remove(cur[0]);
+    }
+    free(cur[0]); free(cur);
+    return 0;
+}
+
 /* Streaming dedup over a sorted u64 file with abundance filtering:
  * keep values occurring in [min_abund, max_abund] times
  * (KMC cutoff semantics, run_kmc.cpp:673-694).  Returns the number of

@@ -112,3 +112,40 @@ def test_em_dedup_count(tmp_path):
         got = np.fromfile(outp, dtype=np.uint64)
         np.testing.assert_array_equal(got, expect)
         assert kept == len(expect)
+
+def test_em_sort_varlen_random_files(tmp_path):
+    """Randomized variable-length record sort vs an in-memory oracle,
+    mirroring the reference's variable-record EM_sort tests
+    (tests/test_EM_sort.hh:110-163)."""
+    rng = np.random.default_rng(5)
+    cases = [
+        (0, 1 << 20),       # empty file
+        (1, 1 << 20),       # one record
+        (5000, 1 << 20),    # single block
+        (200000, 1 << 20),  # multiple runs -> merge pass
+    ]
+    for n, ram in cases:
+        lens = rng.integers(0, 60, size=n)
+        recs = [rng.integers(0, 256, size=ln, dtype=np.uint8).tobytes() for ln in lens]
+        if n > 10:
+            # prefix ties: duplicates and shorter-prefix ordering
+            recs[3] = recs[2]
+            recs[4] = recs[2][: len(recs[2]) // 2]
+        inp = str(tmp_path / "v_in.bin")
+        outp = str(tmp_path / "v_out.bin")
+        native.write_varlen_records(inp, recs)
+        native.em_sort_varlen_file(inp, outp, str(tmp_path), ram_bytes=ram, n_threads=3)
+        got = native.read_varlen_records(outp)
+        assert got == sorted(recs)
+
+
+def test_em_sort_varlen_huge_record(tmp_path):
+    """A single record larger than the block size must still sort."""
+    rng = np.random.default_rng(6)
+    recs = [rng.integers(0, 256, size=ln, dtype=np.uint8).tobytes()
+            for ln in [200000, 3, 0, 150000, 7]]
+    inp = str(tmp_path / "h_in.bin")
+    outp = str(tmp_path / "h_out.bin")
+    native.write_varlen_records(inp, recs)
+    native.em_sort_varlen_file(inp, outp, str(tmp_path), ram_bytes=1 << 17, n_threads=2)
+    assert native.read_varlen_records(outp) == sorted(recs)
