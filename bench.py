@@ -57,7 +57,11 @@ def main():
 
     k = 30
     read_len = 100
-    n_reads = 1 << 22  # 4M reads: dependent-gather rate keeps climbing to ~8M lanes
+    import os
+
+    # 4M reads default: dependent-gather rate keeps climbing to ~8M lanes;
+    # override for lane-scaling experiments with SBWT_BENCH_READS.
+    n_reads = int(os.environ.get("SBWT_BENCH_READS", 1 << 22))
     genome_codes = make_corpus_codes()
     write_log(f"bench: building k={k} index over {len(genome_codes)/1e6:.1f} Mbp")
     t0 = time.perf_counter()

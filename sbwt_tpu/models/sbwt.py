@@ -219,6 +219,30 @@ class SBWT:
     def has_streaming_query_support(self) -> bool:
         return self.device_index.has_streaming
 
+    # Reference-named aliases (SBWT.hh:111-157), so code written against
+    # the C++ API maps one-to-one.
+    def get_k(self) -> int:
+        return self.k
+
+    def get_C_array(self) -> np.ndarray:
+        return self.C
+
+    def get_precalc(self) -> np.ndarray:
+        """Precalc intervals as an [4^p, 2] array of (left, right); empty
+        intervals are (-1, -1) (SBWT.hh:131)."""
+        if self.get_precalc_k() == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        return np.asarray(self.device_index.precalc, dtype=np.int64)
+
+    def get_streaming_support(self) -> np.ndarray:
+        """The suffix_group_starts bit vector as bools (SBWT.hh:116)."""
+        return np.asarray(self.suffix_group_starts, dtype=bool)
+
+    def get_subset_rank_structure(self):
+        """The underlying device index / subset-rank structure
+        (SBWT.hh:111)."""
+        return self.device_index
+
     def do_kmer_prefix_precalc(self, p: int) -> None:
         if self.variant == "plain-matrix":
             self.device_index = with_precalc(self.device_index, p)
