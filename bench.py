@@ -53,7 +53,7 @@ def main():
     from sbwt_tpu.utils.dna import encode_query
     from sbwt_tpu.utils.logging import write_log
 
-    from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+    from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_search
 
     k = 30
     read_len = 100
@@ -88,20 +88,27 @@ def main():
     lengths_d = jnp.asarray(lengths)
     queries_per_batch = n_reads * (read_len - k + 1)
 
-    # compile + warmup (hit-rate reduced on device; fetching the full
-    # answer matrix through the device tunnel would swamp the timing)
-    out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
-    hit = float(jnp.mean((out >= 0).astype(jnp.float32)))
+    # The timed program reduces the answer matrix to (checksum, hits) on
+    # device: keeping the full [n_reads, n_answers] matrix alive across
+    # reps would double the HBM footprint (it OOMs at 8M reads), and the
+    # scalar fetch forces full completion of every rep
+    # (block_until_ready alone is unreliable on this backend).
+    @jax.jit
+    def run(turbo, index, codes, lengths):
+        out = turbo_streaming_search(turbo, index, codes, lengths)
+        return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+    # compile + warmup
+    acc0, hits = run(turbo, sbwt.device_index, codes_d, lengths_d)
+    hit = int(hits) / queries_per_batch
     write_log(f"bench: {queries_per_batch} queries/batch, hit rate {hit:.3f}")
 
     reps = 5
     t0 = time.perf_counter()
     acc = 0
     for _ in range(reps):
-        out = turbo_streaming_jit(turbo, sbwt.device_index, codes_d, lengths_d)
-        # device-side reduction + scalar fetch: forces full completion of
-        # every rep (block_until_ready alone is unreliable on this backend)
-        acc += int(jnp.sum(out))
+        s, _ = run(turbo, sbwt.device_index, codes_d, lengths_d)
+        acc += int(s)
     dt = time.perf_counter() - t0
     qps = queries_per_batch * reps / dt
 

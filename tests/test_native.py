@@ -149,3 +149,16 @@ def test_em_sort_varlen_huge_record(tmp_path):
     native.write_varlen_records(inp, recs)
     native.em_sort_varlen_file(inp, outp, str(tmp_path), ram_bytes=1 << 17, n_threads=2)
     assert native.read_varlen_records(outp) == sorted(recs)
+
+def test_create_reverse_complement_files(tmp_path):
+    """RC file creation for .fna and .fq, like the reference's misc tests
+    (tests/test_misc.hh:8-72)."""
+    fna = tmp_path / "a.fna"
+    fq = tmp_path / "b.fq.gz"
+    fna.write_text(">s1\nACGTTGCA\n>s2\nGGGTA\n")
+    with gzip.open(fq, "wt") as f:
+        f.write("@r1\nAACCGT\n+\nIIIIII\n")
+    outs = [str(tmp_path / "a_rc.fna"), str(tmp_path / "b_rc.fq.gz")]
+    seqio.create_reverse_complement_files([str(fna), str(fq)], outs)
+    assert seqio.read_sequences(outs[0]) == [b"TGCAACGT", b"TACCC"]
+    assert seqio.read_sequences(outs[1]) == [b"ACGGTT"]
