@@ -54,6 +54,7 @@ typedef struct {
     Job *jobs;
     int n_jobs;
     int next;
+    int err;
     pthread_mutex_t mu;
 } Pool;
 
@@ -68,11 +69,16 @@ static void *worker(void *arg) {
         uint64_t *tmp = malloc(j->n * sizeof(uint64_t));
         uint64_t *sorted = sort_u64(j->data, tmp, j->n);
         FILE *f = fopen(j->path, "wb");
-        fwrite(sorted, sizeof(uint64_t), j->n, f);
-        fclose(f);
+        int64_t wrote = f ? (int64_t)fwrite(sorted, sizeof(uint64_t), j->n, f) : -1;
+        if (f) fclose(f);
         free(j->data == sorted ? tmp : j->data);
         free(j->data == sorted ? NULL : tmp);
         j->data = NULL;
+        if (wrote != j->n) {
+            pthread_mutex_lock(&p->mu);
+            p->err = 1;
+            pthread_mutex_unlock(&p->mu);
+        }
     }
 }
 
@@ -130,19 +136,23 @@ static int merge_runs(char **paths, int n_runs, const char *out_path) {
     if (!out) return -1;
     uint64_t *obuf = malloc(RUNBUF * sizeof(uint64_t));
     int64_t on = 0;
+    int werr = 0;
     while (hn > 0) {
         obuf[on++] = heap[0].key;
-        if (on == RUNBUF) { fwrite(obuf, sizeof(uint64_t), on, out); on = 0; }
+        if (on == RUNBUF) {
+            if ((int64_t)fwrite(obuf, sizeof(uint64_t), on, out) != on) werr = 1;
+            on = 0;
+        }
         Run *r = &runs[heap[0].run];
         if (run_advance(r)) heap[0].key = r->head;
         else heap[0] = heap[--hn];
         heap_down(heap, hn, 0);
     }
-    fwrite(obuf, sizeof(uint64_t), on, out);
-    fclose(out);
+    if ((int64_t)fwrite(obuf, sizeof(uint64_t), on, out) != on) werr = 1;
+    if (fclose(out)) werr = 1;
     for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].buf); }
     free(runs); free(heap); free(obuf);
-    return 0;
+    return werr ? -1 : 0;
 }
 
 /* ------------------------------------------------------------------ */
@@ -178,23 +188,25 @@ int em_sort_u64(const char *in_path, const char *out_path,
         n_jobs++;
         /* bound queued memory: sort eagerly once we have n_threads blocks */
         if (n_jobs % n_threads == 0) {
-            Pool p = {jobs + n_jobs - n_threads, n_threads, 0,
+            Pool p = {jobs + n_jobs - n_threads, n_threads, 0, 0,
                       PTHREAD_MUTEX_INITIALIZER};
             pthread_t th[256];
             int nt = n_threads > 256 ? 256 : n_threads;
             for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
             for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+            if (p.err) { fclose(in); free(jobs); return -1; }
         }
     }
     fclose(in);
     /* sort the tail blocks */
     int tail = n_jobs % n_threads;
     if (tail) {
-        Pool p = {jobs + n_jobs - tail, tail, 0, PTHREAD_MUTEX_INITIALIZER};
+        Pool p = {jobs + n_jobs - tail, tail, 0, 0, PTHREAD_MUTEX_INITIALIZER};
         pthread_t th[256];
         int nt = tail > 256 ? 256 : tail;
         for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
         for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+        if (p.err) { free(jobs); return -1; }
     }
     if (n_jobs == 0) { /* empty input -> empty output */
         FILE *out = fopen(out_path, "wb");
@@ -233,9 +245,13 @@ int em_sort_u64(const char *in_path, const char *out_path,
         FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
         if (!a || !b) return -1;
         char buf[1 << 16]; size_t n;
-        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
-        fclose(a); fclose(b);
+        int werr = 0;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0)
+            if (fwrite(buf, 1, n, b) != n) { werr = 1; break; }
+        fclose(a);
+        if (fclose(b)) werr = 1;
         remove(cur[0]);
+        if (werr) return -1;
     }
     free(cur[0]); free(cur);
     return 0;

@@ -39,8 +39,6 @@ def pack_bits_host(bools: np.ndarray) -> np.ndarray:
 def rank_table_host(bools: np.ndarray) -> np.ndarray:
     """Build the interleaved (bits, exclusive-cum-popcount) table, int32 [W, 2]."""
     words = pack_bits_host(bools)
-    pops = np.array([bin(int(w)).count("1") for w in words], dtype=np.int64)
-    # Faster vectorized popcount:
     v = words.copy()
     v = v - ((v >> np.uint32(1)) & np.uint32(0x55555555))
     v = (v & np.uint32(0x33333333)) + ((v >> np.uint32(2)) & np.uint32(0x33333333))

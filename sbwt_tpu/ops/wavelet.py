@@ -102,10 +102,12 @@ class WaveletTree:
             ids = [nid for nid, nd in enumerate(nodes) if nd["depth"] == d]
             parts = []
             off = 0
+            ones_before = 0
             for nid in ids:
                 b = node_bools[nid]
                 node_base[nid] = off
-                node_rank[nid] = sum(int(node_bools[p].sum()) for p in ids[: ids.index(nid)])
+                node_rank[nid] = ones_before
+                ones_before += int(b.sum())
                 parts.append(b)
                 off += len(b)
             level_bits = (

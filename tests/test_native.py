@@ -98,6 +98,36 @@ def test_em_sort_random_files(tmp_path):
         np.testing.assert_array_equal(got, np.sort(arr))
 
 
+def test_em_sort_write_failure_is_reported(tmp_path):
+    """An unwritable temp dir must fail loudly, never truncate a run
+    silently (the sorted file feeds index construction — a short run
+    would build a *wrong* index).  A nonexistent dir makes the run-file
+    fopen fail inside the sort workers, exercising the same error path
+    as a full disk, and works even when tests run as root."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 2**63, size=300000, dtype=np.uint64)
+    inp = str(tmp_path / "in.bin")
+    arr.tofile(inp)
+    gone = str(tmp_path / "no_such_dir")
+    with pytest.raises(RuntimeError):
+        native.em_sort_u64_file(
+            inp, str(tmp_path / "out.bin"), gone, ram_bytes=1 << 21, n_threads=2
+        )
+
+
+def test_em_sort_write_failure_is_reported_wide(tmp_path):
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 2**63, size=100000, dtype=np.uint64)
+    inp = str(tmp_path / "in.bin")
+    arr.tofile(inp)
+    gone = str(tmp_path / "no_such_dir_w")
+    with pytest.raises(RuntimeError):
+        native.em_sort_records_file(
+            inp, str(tmp_path / "out.bin"), gone, n_words=2,
+            ram_bytes=1 << 21, n_threads=2,
+        )
+
+
 def test_em_dedup_count(tmp_path):
     rng = np.random.default_rng(4)
     arr = rng.integers(0, 50, size=10000, dtype=np.uint64)
