@@ -43,8 +43,8 @@ def build_main(argv) -> int:
     p.add_argument("-m", "--ram-gigas", type=int, default=2)
     p.add_argument("-d", "--temp-dir", default=".")
     p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("--format", choices=["cpp", "native"], default=None,
-                   help="Index file format (default: cpp-compatible for plain-matrix, native otherwise)")
+    p.add_argument("--format", choices=["cpp", "native"], default="cpp",
+                   help="Index file format (default: cpp — byte-compatible with the reference for every variant)")
     args = p.parse_args(argv)
 
     from .io import seqio
@@ -99,8 +99,7 @@ def build_main(argv) -> int:
     write_log(f"Built SBWT for {sbwt.number_of_kmers()} distinct k-mers")
     write_log(f"SBWT has {sbwt.number_of_subsets()} subsets")
 
-    fmt = args.format or ("cpp" if args.variant == "plain-matrix" else "native")
-    bytes_written = save(args.out_file, sbwt, fmt)
+    bytes_written = save(args.out_file, sbwt, args.format)
     write_log(f"Built variant {args.variant} to file {args.out_file}")
     write_log(
         "Space on disk: "
@@ -169,7 +168,7 @@ def build_variant_main(argv) -> int:
     p.add_argument("-i", "--in-file", required=True)
     p.add_argument("-o", "--out-file", required=True)
     p.add_argument("--variant", default="plain-matrix")
-    p.add_argument("--format", choices=["cpp", "native"], default=None)
+    p.add_argument("--format", choices=["cpp", "native"], default="cpp")
     args = p.parse_args(argv)
 
     from .io.serialize import load, save
@@ -185,8 +184,7 @@ def build_variant_main(argv) -> int:
         return 1
     write_log(f"Building variant {args.variant}")
     sbwt = sbwt.to_variant(args.variant)
-    fmt = args.format or ("cpp" if args.variant == "plain-matrix" else "native")
-    bytes_written = save(args.out_file, sbwt, fmt)
+    bytes_written = save(args.out_file, sbwt, args.format)
     write_log(f"Built variant {args.variant} to file {args.out_file}")
     write_log(
         "Space on disk: "

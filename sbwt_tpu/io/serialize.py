@@ -17,12 +17,12 @@ Two formats:
 """
 from __future__ import annotations
 
-import io
 import json
 import struct
-import zlib
 
 import numpy as np
+
+from . import sdsl
 
 SBWT_VERSION = "v0.1"  # serialized version tag, matches SBWT.hh:28
 
@@ -34,6 +34,7 @@ NATIVE_MAGIC = b"SBWT-TPU-NATIVE-v1\x00"
 # ---------------------------------------------------------------------------
 
 def write_string(f, s: str) -> int:
+    """serialize_string (globals.cpp:49-54): i64 length + ascii bytes."""
     data = s.encode("ascii")
     f.write(struct.pack("<q", len(data)))
     f.write(data)
@@ -45,60 +46,11 @@ def read_string(f) -> str:
     return f.read(n).decode("ascii")
 
 
-def write_sdsl_bit_vector(f, bools: np.ndarray) -> int:
-    """sdsl::bit_vector::serialize framing: u64 bit count + 64-bit words."""
-    n = len(bools)
-    n_words = (n + 63) // 64
-    padded = np.zeros(n_words * 64, dtype=bool)
-    padded[:n] = bools
-    words = np.packbits(padded.reshape(n_words, 64), axis=1, bitorder="little")
-    f.write(struct.pack("<Q", n))
-    f.write(words.tobytes())
-    return 8 + n_words * 8
-
-
-def read_sdsl_bit_vector(f) -> np.ndarray:
-    (n,) = struct.unpack("<Q", f.read(8))
-    n_words = (n + 63) // 64
-    raw = f.read(n_words * 8)
-    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8), bitorder="little")
-    return bits[:n].astype(bool)
-
-
-def skip_sdsl_int_vector(f) -> None:
-    """Skip a serialized sdsl int_vector<64> (e.g. a rank_support_v5 payload)."""
-    (n_bits,) = struct.unpack("<Q", f.read(8))
-    f.seek(((n_bits + 63) // 64) * 8, io.SEEK_CUR)
-
-
-def write_rank_support_v5(f, bools: np.ndarray) -> int:
-    """Write a payload shaped like sdsl::rank_support_v5's basic-block vector.
-
-    Layout (per 2048-bit superblock): word 0 = absolute rank before the
-    superblock, word 1 = five 11-bit relative ranks at 384-bit offsets.
-    NOTE: this writer exists so the byte stream is structurally complete;
-    our own loader recomputes rank support from the bits and never reads
-    this payload.  Cross-loading into the C++ implementation should be
-    re-validated against a real sdsl build before relying on it.
-    """
-    n = len(bools)
-    n_super = (n >> 11) + 1
-    words = np.zeros(2 * n_super, dtype=np.uint64)
-    padded = np.zeros(n_super * 2048, dtype=np.int64)
-    padded[:n] = bools
-    cums = np.concatenate([[0], np.cumsum(padded)])
-    for s in range(n_super):
-        base = s * 2048
-        words[2 * s] = cums[base]
-        rel = np.uint64(0)
-        for j in range(5):
-            cnt = np.uint64(int(cums[base + 384 * (j + 1)] - cums[base]))
-            rel |= cnt << np.uint64(11 * j)
-        words[2 * s + 1] = rel
-    n_bits = len(words) * 64
-    f.write(struct.pack("<Q", n_bits))
-    f.write(words.tobytes())
-    return 8 + len(words) * 8
+# Back-compat aliases; the real codecs live in io/sdsl.py.
+write_sdsl_bit_vector = sdsl.write_bit_vector
+read_sdsl_bit_vector = sdsl.read_bit_vector
+skip_sdsl_int_vector = sdsl.skip_int_vector64
+write_rank_support_v5 = sdsl.write_rank_support_v5
 
 
 def write_int64_vector(f, vals: np.ndarray) -> int:
@@ -115,36 +67,250 @@ def read_int64_vector(f) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# cpp format: variant decompositions
+#
+# The reference CLI always builds the plain matrix first and re-encodes it
+# into the requested variant (sbwt_build.cpp:127-195); the decompositions
+# below replicate the corresponding Subset*Rank constructors so the byte
+# streams we write carry exactly what the C++ constructors would produce
+# from the same 4 bit vectors.
+# ---------------------------------------------------------------------------
+
+_CHAR_BYTES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _split_decompose(bits: np.ndarray):
+    """SubsetSplitRank constructor (SubsetSplitRank.hh:90-141): X marks
+    columns with != 1 outgoing edge; Y = the single labels as a string;
+    Z = the 4 matrix rows restricted to X columns."""
+    deg = bits.sum(axis=0)
+    X = deg != 1
+    uni = ~X
+    y_char = np.zeros(int(uni.sum()), dtype=np.uint8)
+    sub = bits[:, uni]
+    for c in range(4):
+        y_char[sub[c]] = _CHAR_BYTES[c]
+    Z = bits[:, X]
+    return X, y_char, Z
+
+
+def _concat_decompose(bits: np.ndarray):
+    """SubsetConcatRank constructor (SubsetConcatRank.hh:36-65): sets
+    concatenated in ACGT order with '$' for empty sets; L has a 0 at each
+    set start, 1s for the remaining members, and a trailing 0 sentinel."""
+    n = bits.shape[1]
+    sizes = bits.sum(axis=0)
+    emit = np.maximum(sizes, 1)
+    concat_parts = []
+    for i in range(n):
+        if sizes[i] == 0:
+            concat_parts.append(b"$")
+        else:
+            concat_parts.append(
+                bytes(_CHAR_BYTES[c] for c in range(4) if bits[c, i])
+            )
+    concat = np.frombuffer(b"".join(concat_parts), dtype=np.uint8)
+    total = int(emit.sum())
+    L = np.ones(total + 1, dtype=bool)
+    starts = np.concatenate([[0], np.cumsum(emit)])
+    L[starts] = False  # includes the end sentinel at position `total`
+    return concat, L
+
+
+def _sswt_decompose(bits: np.ndarray):
+    """SubsetWT constructor (SubsetWT.hh:41-91): three strings over the
+    2-bit pair alphabet {'0','1','2','3'} where char = 2*left + right."""
+    AC = bits[0] | bits[1]
+    GT = bits[2] | bits[3]
+
+    def pair_string(left, right):
+        return (np.uint8(ord("0")) + 2 * left.astype(np.uint8) + right.astype(np.uint8))
+
+    acgt = pair_string(AC, GT)
+    ac = pair_string(bits[0][AC], bits[1][AC])
+    gt = pair_string(bits[2][GT], bits[3][GT])
+    return acgt, ac, gt
+
+
+def _split_recompose(X, y_char, Z):
+    n = len(X)
+    bits = np.zeros((4, n), dtype=bool)
+    uni_cols = np.flatnonzero(~X)
+    for c in range(4):
+        bits[c, uni_cols[y_char == _CHAR_BYTES[c]]] = True
+        bits[c, np.flatnonzero(X)] = Z[c]
+    return bits
+
+
+def _concat_recompose(concat: np.ndarray, L: np.ndarray):
+    # L: 0 at each set start (+ sentinel); member i of the stream belongs
+    # to the set counted by zeros before it.
+    set_id = np.cumsum(~L[: len(concat)]) - 1
+    n = int((~L).sum()) - 1  # minus the end sentinel
+    bits = np.zeros((4, n), dtype=bool)
+    for c in range(4):
+        cols = set_id[concat == _CHAR_BYTES[c]]
+        bits[c, cols] = True
+    return bits
+
+
+def _sswt_recompose(acgt, ac, gt):
+    n = len(acgt)
+    root = acgt - np.uint8(ord("0"))
+    AC = (root >> 1).astype(bool)
+    GT = (root & 1).astype(bool)
+    bits = np.zeros((4, n), dtype=bool)
+    sub_ac = ac - np.uint8(ord("0"))
+    sub_gt = gt - np.uint8(ord("0"))
+    ac_cols = np.flatnonzero(AC)
+    gt_cols = np.flatnonzero(GT)
+    bits[0, ac_cols] = (sub_ac >> 1).astype(bool)
+    bits[1, ac_cols] = (sub_ac & 1).astype(bool)
+    bits[2, gt_cols] = (sub_gt >> 1).astype(bool)
+    bits[3, gt_cols] = (sub_gt & 1).astype(bool)
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# cpp format: subset-rank structure writers/readers per variant
+# ---------------------------------------------------------------------------
+
+def _write_struct_cpp(f, variant: str, bits: np.ndarray) -> int:
+    w = 0
+    if variant == "plain-matrix":
+        # SubsetMatrixRank<bit_vector, rank_support_v5> (SubsetMatrixRank.hh:86-100)
+        for c in range(4):
+            w += sdsl.write_bit_vector(f, bits[c])
+        for c in range(4):
+            w += sdsl.write_rank_support_v5(f, bits[c])
+    elif variant == "rrr-matrix":
+        # SubsetMatrixRank<rrr_vector<63>, ...>; rrr rank supports carry no payload
+        for c in range(4):
+            w += sdsl.write_rrr(f, bits[c])
+    elif variant == "mef-matrix":
+        encs = [sdsl.mef_encode(bits[c]) for c in range(4)]
+        for c in range(4):
+            enc = encs[c]
+            f.write(struct.pack("<Q", enc["m"]))
+            f.write(struct.pack("<B", enc["wl"]))
+            w += 9
+            w += sdsl.write_bit_vector(f, enc["upper"])
+            w += sdsl.write_bit_vector(f, enc["lower"])
+            w += sdsl.write_rank_support_v(f, enc["upper"])
+            w += sdsl.write_rank_support_v(f, enc["lower"])
+        for c in range(4):
+            w += sdsl.write_mef_rank_support(f, encs[c]["wl"])
+    elif variant in ("plain-split", "rrr-split", "mef-split"):
+        X, y_char, Z = _split_decompose(bits)
+        if variant == "plain-split":
+            w += sdsl.write_bit_vector(f, X)
+        elif variant == "rrr-split":
+            w += sdsl.write_rrr(f, X)
+        else:
+            w += sdsl.write_mef(f, X)
+        w += sdsl.write_wt_blcd(f, y_char, compressed=False)
+        for c in range(4):
+            w += sdsl.write_bit_vector(f, Z[c])
+        # rank supports: X first, then the 4 Z rows (SubsetSplitRank.hh:46-50)
+        if variant == "plain-split":
+            w += sdsl.write_rank_support_v5(f, X)
+        elif variant == "mef-split":
+            w += sdsl.write_mef_rank_support(f, sdsl.mef_optimize_w(X))
+        # rrr-split: X's rrr rank support carries no payload
+        for c in range(4):
+            w += sdsl.write_rank_support_v5(f, Z[c])
+    elif variant in ("plain-concat", "mef-concat"):
+        concat, L = _concat_decompose(bits)
+        # serialize order: concat WT, L, L_ss0 (SubsetConcatRank.hh:67-73)
+        if variant == "plain-concat":
+            w += sdsl.write_wt_blcd(f, concat, compressed=False)
+            w += sdsl.write_bit_vector(f, L)
+            w += sdsl.write_select_mcl(f, L, 0)
+        else:
+            w += sdsl.write_wt_blcd(f, concat, compressed=True)
+            w += sdsl.write_sd(f, L)
+            # sd_vector<>::select_0_type carries no payload
+    elif variant in ("plain-subsetwt", "rrr-subsetwt"):
+        acgt, ac, gt = _sswt_decompose(bits)
+        compressed = variant == "rrr-subsetwt"
+        for s in (acgt, ac, gt):
+            w += sdsl.write_wt_blcd(f, s, compressed=compressed)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    return w
+
+
+def _read_struct_cpp(f, variant: str) -> np.ndarray:
+    """Parse a cpp-format subset-rank structure back to the 4 bit rows."""
+    if variant == "plain-matrix":
+        rows = [sdsl.read_bit_vector(f) for _ in range(4)]
+        for _ in range(4):
+            sdsl.skip_int_vector64(f)  # rank_support_v5 payloads; recomputed
+        return np.stack(rows)
+    if variant == "rrr-matrix":
+        return np.stack([sdsl.read_rrr(f) for _ in range(4)])
+    if variant == "mef-matrix":
+        rows = [sdsl.read_mef(f) for _ in range(4)]
+        for _ in range(4):
+            sdsl.read_mef_rank_support(f)
+        return np.stack(rows)
+    if variant in ("plain-split", "rrr-split", "mef-split"):
+        if variant == "plain-split":
+            X = sdsl.read_bit_vector(f)
+        elif variant == "rrr-split":
+            X = sdsl.read_rrr(f)
+        else:
+            X = sdsl.read_mef(f)
+        y_char = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
+        Z = np.stack([sdsl.read_bit_vector(f) for _ in range(4)])
+        if variant == "plain-split":
+            sdsl.skip_int_vector64(f)
+        elif variant == "mef-split":
+            sdsl.read_mef_rank_support(f)
+        for _ in range(4):
+            sdsl.skip_int_vector64(f)
+        return _split_recompose(X, y_char, Z)
+    if variant in ("plain-concat", "mef-concat"):
+        if variant == "plain-concat":
+            concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
+            L = sdsl.read_bit_vector(f)
+            sdsl.read_select_mcl(f)
+        else:
+            concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=True))
+            L = sdsl.read_sd(f)
+        return _concat_recompose(concat, L)
+    if variant in ("plain-subsetwt", "rrr-subsetwt"):
+        compressed = variant == "rrr-subsetwt"
+        acgt = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
+        ac = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
+        gt = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
+        return _sswt_recompose(acgt, ac, gt)
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+# ---------------------------------------------------------------------------
 # cpp format: full index files
 # ---------------------------------------------------------------------------
 
 def save_cpp(path: str, sbwt) -> int:
-    """Write a reference-compatible `.sbwt` file (plain-matrix layout).
+    """Write a reference-compatible `.sbwt` file for any of the 10 variants.
 
-    Non-plain-matrix variants currently serialize their logical content in
-    plain-matrix layout under their own variant tag is NOT cpp-compatible,
-    so we refuse; use the native format for those.
+    Stream layout = CLI variant tag (sbwt_build.cpp:140-142) followed by
+    SBWT::serialize (SBWT.hh:463-491): version string, the subset-rank
+    structure, suffix_group_starts, C, the precalc pair vector, and the
+    four raw int64 scalars.
     """
-    if sbwt.variant != "plain-matrix":
-        raise NotImplementedError(
-            f"cpp-format export for variant {sbwt.variant!r} is not available yet; "
-            "use format='native'"
-        )
     di = sbwt.device_index
     with open(path, "wb") as f:
         written = write_string(f, sbwt.variant)
         written += write_string(f, SBWT_VERSION)
-        for c in range(4):
-            written += write_sdsl_bit_vector(f, sbwt.bits[c])
-        for c in range(4):
-            written += write_rank_support_v5(f, sbwt.bits[c])
-        written += write_sdsl_bit_vector(f, sbwt.suffix_group_starts)
+        written += _write_struct_cpp(f, sbwt.variant, sbwt.bits)
+        written += sdsl.write_bit_vector(f, sbwt.suffix_group_starts)
         written += write_int64_vector(f, np.asarray(di.C, dtype=np.int64))
-        precalc = np.asarray(di.precalc, dtype=np.int64)
         if di.precalc_k == 0:
             pairs = np.empty((0, 2), dtype=np.int64)
         else:
-            pairs = precalc
+            pairs = np.asarray(di.precalc, dtype=np.int64)
         written += write_int64_vector(f, pairs.ravel())
         f.write(struct.pack("<q", di.precalc_k))
         f.write(struct.pack("<q", di.n_nodes))
@@ -155,43 +321,36 @@ def save_cpp(path: str, sbwt) -> int:
 
 
 def load_cpp_stream(f):
-    """Load a reference-format index stream (after any leading variant tag)."""
+    """Load a reference-format index stream (all 10 variant tags,
+    mirroring the dispatch at src/CLI/sbwt_search.cpp:204-253).  The
+    compressed payloads are decoded back to plain bit rows and re-packed
+    into the TPU-native structure for the same variant."""
     from ..models.sbwt import SBWT, VARIANT_NAMES
 
     variant = read_string(f)
     if variant not in VARIANT_NAMES:
         raise ValueError(f"unrecognized variant tag {variant!r}")
-    if variant != "plain-matrix":
-        raise NotImplementedError(
-            f"loading cpp-format variant {variant!r} is not supported yet "
-            "(only plain-matrix)"
-        )
     version = read_string(f)
     if version != SBWT_VERSION:
         raise ValueError(
             "corrupt index file, or the index was constructed with an "
             "incompatible version of SBWT"
         )
-    rows = []
-    for _ in range(4):
-        rows.append(read_sdsl_bit_vector(f))
-    for _ in range(4):
-        skip_sdsl_int_vector(f)  # rank_support_v5 payloads; recomputed
-    sgs = read_sdsl_bit_vector(f)
+    bits = _read_struct_cpp(f, variant)
+    sgs = sdsl.read_bit_vector(f)
     C = read_int64_vector(f)
     pairs = read_int64_vector(f)
     (precalc_k,) = struct.unpack("<q", f.read(8))
     (n_nodes,) = struct.unpack("<q", f.read(8))
     (n_kmers,) = struct.unpack("<q", f.read(8))
     (k,) = struct.unpack("<q", f.read(8))
-    bits = np.stack(rows)
     assert bits.shape[1] == n_nodes
     precalc_table = None
     if precalc_k > 0:
         precalc_table = pairs.reshape(-1, 2).astype(np.int32)
     sbwt = SBWT(
         bits,
-        sgs,
+        sgs if len(sgs) else None,
         k=int(k),
         n_kmers=int(n_kmers),
         precalc_k=int(precalc_k),
