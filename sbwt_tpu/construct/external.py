@@ -5,12 +5,14 @@ kmc_construct.hh:206-238, src/run_kmc.cpp:655-735, src/EM_sort/): the
 k-mer multiset is spilled to disk as packed uint64 records (word order ==
 colex order, utils/kmers.py), sorted by the native multithreaded
 external-memory sorter (native/emsort.c), deduplicated with abundance
-cutoffs in one streaming pass, and the *distinct* set — orders of
-magnitude smaller than the input for real genome collections — is built
-into the bit matrix by the vectorized in-memory constructor.
+cutoffs in one streaming pass, and the bit matrix is emitted directly
+from the sorted distinct file in bounded chunks (construct/streaming.py,
+the build_bit_vectors_from_sorted_streams equivalent).
 
-This bounds peak RAM by the distinct-kmer count rather than the input
-size, which is the same guarantee KMC gives the reference.
+Peak RAM is O(chunk) + the output bit rows themselves — matching the
+reference's O(1)-memory stream-merge guarantee (kmc_construct.hh:43-99),
+not merely the distinct-set size.  tests/test_streaming_build.py enforces
+this under a hard RLIMIT_AS.
 """
 from __future__ import annotations
 
@@ -103,10 +105,16 @@ def build_sbwt_external(
     tfm.delete_file(sorted_f)
     write_log(f"external build: {n_distinct} distinct k-mers after cutoffs")
 
-    kmer_vals = np.fromfile(distinct_f, dtype=np.uint64)
-    tfm.delete_file(distinct_f)
-    if wide:
-        from .inmemory import build_from_kmers_wide
+    from .streaming import build_streaming
 
-        return build_from_kmers_wide(kmer_vals.reshape(-1, W), k, streaming_support)
-    return build_from_kmers(kmer_vals, k, streaming_support)
+    built = build_streaming(
+        distinct_f,
+        int(n_distinct),
+        k,
+        streaming_support,
+        ram_bytes=ram_bytes,
+        n_threads=n_threads,
+        tfm=tfm,
+    )
+    tfm.delete_file(distinct_f)
+    return built

@@ -179,7 +179,8 @@ class _ProbeCursor:
                 continue
             last = self.buf[-1]
             # queries <= buffer tail are answerable from this buffer
-            j = i + int(p.searchsorted(y[i:], p.as_rows(last)[0:1] if p.wide else last, side="right"))
+            tail_q = last[None, :] if p.wide else np.array([last], dtype=_U64)
+            j = i + int(p.searchsorted(y[i:], tail_q, side="right")[0])
             if j > i:
                 idx = p.searchsorted(self.buf, y[i:j])
                 idxc = np.minimum(idx, len(self.buf) - 1)
@@ -265,21 +266,24 @@ class _DedupedDummyStream:
         self.f = open(path, "rb")
         self.chunk = chunk
         self.carry = None  # (val_row, len, mask) open group
+        self.eof = False
 
     def read(self):
         """Returns (vals, lens, masks) or None at EOF."""
         p = self.prims
         while True:
-            raw = np.fromfile(self.f, dtype=_U64, count=self.chunk * (self.W + 1))
-            if raw.size == 0:
+            if self.eof:
                 if self.carry is None:
-                    self.f.close()
                     return None
                 val, ln, mask = self.carry
                 self.carry = None
-                self.f.close()
                 vals = val[None, :] if p.wide else np.array([val], dtype=_U64)
-                return vals, np.array([ln]), np.array([mask], dtype=np.uint8)
+                return vals, np.array([ln], dtype=np.int64), np.array([mask], dtype=np.uint8)
+            raw = np.fromfile(self.f, dtype=_U64, count=self.chunk * (self.W + 1))
+            if raw.size == 0:
+                self.eof = True
+                self.f.close()
+                continue
             rec = raw.reshape(-1, self.W + 1)
             vals = rec[:, : self.W] if p.wide else rec[:, 0]
             lens = (rec[:, self.W] >> _U64(8)).astype(np.int64)
@@ -323,9 +327,12 @@ def build_streaming(
     ram_bytes: int,
     n_threads: int,
     tfm,
+    chunk_records: int | None = None,
 ) -> BuiltSBWT:
     """Build the plain-matrix SBWT from an on-disk sorted distinct k-mer
-    file in bounded memory.  `tfm` is the temp-file manager for spills."""
+    file in bounded memory.  `tfm` is the temp-file manager for spills.
+    `chunk_records` overrides the RAM-derived chunk size (tests use tiny
+    chunks to exercise every cross-chunk carry path)."""
     p = _Prims(k)
     W = p.W
     if n_records == 0:
@@ -334,7 +341,7 @@ def build_streaming(
         return BuiltSBWT(bits, sgs, k, 0, p.empty(), np.zeros(0, dtype=np.uint8))
 
     # chunk sizing: main + 4 block cursors + dummy spill + merge buffers
-    chunk = int(max(4096, min(1 << 21, ram_bytes // (24 * W * 8))))
+    chunk = chunk_records or int(max(4096, min(1 << 21, ram_bytes // (24 * W * 8))))
 
     edges_path = tfm.create_filename("edges_", ".bin")
     dummy_raw = tfm.create_filename("dummies_", ".bin")
@@ -381,13 +388,8 @@ def build_streaming(
     for c in range(4):
         cursors[c].finalize()
     # the root node always exists (kmc_construct.hh:47-51)
-    spill.add(
-        p.empty() if not p.wide else np.zeros((1, W), dtype=_U64),
-        np.zeros(1, dtype=np.int64),
-        np.full(1, _NO_EDGE, dtype=np.int64),
-    ) if p.wide else spill.add(
-        np.zeros(1, dtype=_U64), np.zeros(1, dtype=np.int64), np.full(1, _NO_EDGE, dtype=np.int64)
-    )
+    root_val = np.zeros((1, W), dtype=_U64) if p.wide else np.zeros(1, dtype=_U64)
+    spill.add(root_val, np.zeros(1, dtype=np.int64), np.full(1, _NO_EDGE, dtype=np.int64))
     spill.close()
 
     # ---- phase 2: sort dummies by (value, length) --------------------
@@ -473,13 +475,14 @@ def build_streaming(
             continue
         # process everything with value <= bound = min of the two tails
         d_last, k_last = dv[-1], kv[-1]
-        d_le = not p.wide and d_last <= k_last or p.wide and not bool(
-            kw.rows_less(k_last, d_last)
-        )
+        if p.wide:
+            d_le = not bool(kw.rows_less(k_last[None, :], d_last[None, :])[0])
+        else:
+            d_le = bool(d_last <= k_last)
         bound = d_last if d_le else k_last
-        bnd = bound[None, :] if p.wide else bound
-        nd = int(p.searchsorted(dv, p.as_rows(bnd) if False else (bnd if p.wide else np.array([bound], dtype=_U64)), side="right")[0])
-        nk = int(p.searchsorted(kv, (bnd if p.wide else np.array([bound], dtype=_U64)), side="right")[0])
+        bnd = bound[None, :] if p.wide else np.array([bound], dtype=_U64)
+        nd = int(p.searchsorted(dv, bnd, side="right")[0])
+        nk = int(p.searchsorted(kv, bnd, side="right")[0])
         td_v, td_l, td_m = dv[:nd], dl[:nd], dm[:nd]
         tk_v, tk_e = kv[:nk], ke[:nk]
         # merged positions: dummy i precedes kmers from searchsorted-left

@@ -1,0 +1,136 @@
+"""Streaming (bounded-memory) external construction.
+
+Differential against the in-memory oracle with tiny chunk sizes (forcing
+every cross-chunk carry: suffix groups, probe cursors, dummy dedup, and
+the merge join to straddle chunk boundaries), plus a subprocess test that
+builds an index whose distinct k-mer set exceeds ram_bytes under a hard
+RLIMIT_AS — the reference's O(1)-memory stream-merge guarantee
+(kmc_construct.hh:43-99)."""
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from sbwt_tpu.construct.inmemory import build_sbwt, build_from_kmers
+from sbwt_tpu.construct.streaming import build_streaming
+from sbwt_tpu.utils import kmers as km
+from sbwt_tpu.utils import kmers_wide as kw
+from sbwt_tpu.utils.dna import encode
+from sbwt_tpu.utils.tempfiles import get_temp_file_manager
+
+
+def _distinct_file(seqs, k, tmp_path):
+    """Sorted distinct k-mer records on disk, as the dedup stage produces."""
+    wide = k > km.MAX_K
+    mod = kw if wide else km
+    chunks = []
+    for s in seqs:
+        vals, valid = mod.pack_windows(encode(s), k)
+        if vals.size:
+            chunks.append(vals[valid])
+    allv = np.concatenate(chunks)
+    if wide:
+        uniq, _ = kw.unique_rows_sorted(allv)
+    else:
+        uniq = np.unique(allv)
+    path = str(tmp_path / f"distinct_{k}.bin")
+    np.ascontiguousarray(uniq).astype(np.uint64).tofile(path)
+    return path, len(uniq)
+
+
+@pytest.mark.parametrize("k,chunk", [(4, 3), (4, 7), (13, 5), (13, 64), (31, 17)])
+def test_streaming_equals_inmemory_tiny_chunks(k, chunk, tmp_path):
+    rng = np.random.default_rng(k * 100 + chunk)
+    seqs = ["".join(rng.choice(list("ACGT"), size=400)) for _ in range(3)]
+    seqs += ["ACGT" * 40, "A" * 50]  # cyclic + single-letter stress
+    oracle = build_sbwt(seqs, k)
+    path, n = _distinct_file(seqs, k, tmp_path)
+    tfm = get_temp_file_manager()
+    tfm.set_dir(str(tmp_path))
+    got = build_streaming(path, n, k, True, 1 << 20, 2, tfm, chunk_records=chunk)
+    np.testing.assert_array_equal(oracle.bits, got.bits)
+    np.testing.assert_array_equal(oracle.suffix_group_starts, got.suffix_group_starts)
+    assert oracle.n_kmers == got.n_kmers
+
+
+@pytest.mark.parametrize("k", [40, 70])
+def test_streaming_wide_kmers(k, tmp_path):
+    rng = np.random.default_rng(k)
+    seqs = ["".join(rng.choice(list("ACGT"), size=300)) for _ in range(2)]
+    oracle = build_sbwt(seqs, k)
+    path, n = _distinct_file(seqs, k, tmp_path)
+    tfm = get_temp_file_manager()
+    tfm.set_dir(str(tmp_path))
+    got = build_streaming(path, n, k, True, 1 << 20, 2, tfm, chunk_records=19)
+    np.testing.assert_array_equal(oracle.bits, got.bits)
+    np.testing.assert_array_equal(oracle.suffix_group_starts, got.suffix_group_starts)
+
+
+def test_streaming_empty_input(tmp_path):
+    path = str(tmp_path / "empty.bin")
+    open(path, "wb").close()
+    tfm = get_temp_file_manager()
+    tfm.set_dir(str(tmp_path))
+    got = build_streaming(path, 0, 6, True, 1 << 20, 1, tfm)
+    oracle = build_from_kmers(np.empty(0, dtype=np.uint64), 6)
+    np.testing.assert_array_equal(oracle.bits, got.bits)
+
+
+_RLIMIT_SCRIPT = textwrap.dedent(
+    """
+    import resource, sys
+    import numpy as np
+    limit = int(sys.argv[1])
+    resource.setrlimit(resource.RLIMIT_AS, (limit, limit))
+    from sbwt_tpu.construct.external import build_sbwt_external
+    rng = np.random.default_rng(0)
+    # ~4M distinct 20-mers => 32 MB of packed records, >> ram_bytes
+    seqs = ["".join(rng.choice(list("ACGT"), size=1 << 16)) for _ in range(64)]
+    built = build_sbwt_external(
+        seqs, 20, ram_bytes=4 << 20, n_threads=2, temp_dir=sys.argv[2]
+    )
+    packed = np.packbits(built.bits, axis=1)
+    np.savez(sys.argv[3], packed=packed, n=built.bits.shape[1],
+             sgs=np.packbits(built.suffix_group_starts), n_kmers=built.n_kmers)
+    """
+)
+
+
+@pytest.mark.slow
+def test_streaming_build_under_rlimit(tmp_path):
+    """Distinct set (~32 MB of records) exceeds ram_bytes (4 MB); the build
+    must complete inside a hard address-space cap and match the in-memory
+    oracle bit-for-bit."""
+    out = str(tmp_path / "result.npz")
+    script = str(tmp_path / "rl_build.py")
+    with open(script, "w") as f:
+        f.write(_RLIMIT_SCRIPT)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    # 512 MB total address space: the streaming path fits with ~60 MB to
+    # spare (measured), while the in-memory pipeline on the same input
+    # ArrayMemoryErrors even at 900 MB — the cap genuinely discriminates.
+    limit = 512 * (1 << 20)
+    proc = subprocess.run(
+        [sys.executable, script, str(limit), str(tmp_path), out],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    data = np.load(out)
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), size=1 << 16)) for _ in range(64)]
+    from sbwt_tpu.construct.inmemory import build_sbwt as build_mem
+
+    oracle = build_mem(seqs, 20)
+    n = int(data["n"])
+    assert n == oracle.bits.shape[1]
+    np.testing.assert_array_equal(np.packbits(oracle.bits, axis=1), data["packed"])
+    np.testing.assert_array_equal(
+        np.packbits(oracle.suffix_group_starts), data["sgs"]
+    )
