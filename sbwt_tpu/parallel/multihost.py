@@ -47,6 +47,12 @@ def init_multihost(
     if num_processes is not None and num_processes <= 1 and coordinator_address is None:
         return
     try:
+        # Cross-process collectives on CPU hosts need the gloo transport
+        # (TPU pods use ICI/DCN automatically; this is a no-op there).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
