@@ -24,15 +24,23 @@ def make_corpus_codes(genome_mbp: float = 4.0, seed: int = 20260817) -> np.ndarr
     return rng.integers(0, 4, size=n, dtype=np.int8)
 
 
-def sample_read_codes(genome_codes: np.ndarray, n_reads: int, read_len: int, seed: int = 1):
+def sample_read_codes(
+    genome_codes: np.ndarray,
+    n_reads: int,
+    read_len: int,
+    seed: int = 1,
+    random_fraction: float = 0.02,
+):
     """Vectorized read sampling: [n_reads, read_len] int8 windows of the
-    genome; ~2% replaced by random reads (absent k-mers) to exercise the
-    restart path, like real sequencing data with errors."""
+    genome; `random_fraction` of reads replaced by random sequence (absent
+    k-mers) to exercise the restart path.  0.02 mimics sequencing-error
+    rates (the friendly regime); 0.5 / 1.0 are the miss-heavy and
+    all-miss regimes the turbo patch pass must survive."""
     rng = np.random.default_rng(seed)
     starts = rng.integers(0, len(genome_codes) - read_len, size=n_reads)
     codes = genome_codes[starts[:, None] + np.arange(read_len)]
-    n_rand = max(1, n_reads // 50)
-    rand_rows = rng.integers(0, n_reads, size=n_rand)
+    n_rand = max(1, int(n_reads * random_fraction))
+    rand_rows = rng.choice(n_reads, size=n_rand, replace=False)
     codes[rand_rows] = rng.integers(0, 4, size=(n_rand, read_len), dtype=np.int8)
     return codes
 
@@ -49,7 +57,7 @@ def main():
     import jax.numpy as jnp
 
     from sbwt_tpu.models.sbwt import SBWT
-    from sbwt_tpu.ops.search import streaming_search_jit
+    from sbwt_tpu.ops.search import streaming_search, streaming_search_jit
     from sbwt_tpu.utils.dna import encode_query
     from sbwt_tpu.utils.logging import write_log
 
@@ -111,6 +119,74 @@ def main():
         acc += int(s)
     dt = time.perf_counter() - t0
     qps = queries_per_batch * reps / dt
+
+    # ---- unfriendly regimes (SBWT_BENCH_MODE=full) ---------------------
+    # hit-rate sweep on the turbo engine (every miss breaks the chain and
+    # costs patch-pass work), the pure LF engine, and a compressed
+    # variant.  Results go to BENCH_REGIMES.json + stderr; stdout stays
+    # the single headline JSON line for the driver.
+    if os.environ.get("SBWT_BENCH_MODE") == "full":
+        regimes = {"turbo3_hit98": {"qps": qps, "reps": reps, "n_reads": n_reads}}
+
+        def timed(fn, *args, reps=3, n_q=queries_per_batch):
+            fn(*args)  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return n_q * reps / (time.perf_counter() - t0)
+
+        @jax.jit
+        def run_lf(index, codes, lengths):
+            out = streaming_search(index, codes, lengths)
+            return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+        for frac, name in [(0.5, "hit50"), (1.0, "hit0")]:
+            c = jnp.asarray(
+                sample_read_codes(genome_codes, n_reads, read_len, seed=2, random_fraction=frac)
+            )
+            regimes[f"turbo3_{name}"] = {
+                "qps": timed(lambda cc: run(turbo, sbwt.device_index, cc, lengths_d), c),
+                "reps": 3,
+                "n_reads": n_reads,
+            }
+            regimes[f"lf_{name}"] = {
+                "qps": timed(lambda cc: run_lf(sbwt.device_index, cc, lengths_d), c),
+                "reps": 3,
+                "n_reads": n_reads,
+            }
+        regimes["lf_hit98"] = {
+            "qps": timed(lambda cc: run_lf(sbwt.device_index, cc, lengths_d), codes_d),
+            "reps": 3,
+            "n_reads": n_reads,
+        }
+
+        # rrr-matrix on a smaller batch (compressed rank = multiple
+        # dependent gathers per step; lane count matters less)
+        n_small = min(n_reads, 1 << 20)
+        write_log("bench: re-encoding rrr-matrix variant")
+        rrr = sbwt.to_variant("rrr-matrix")
+        c_small = codes_d[:n_small]
+        l_small = lengths_d[:n_small]
+        nq_small = n_small * (read_len - k + 1)
+
+        @jax.jit
+        def run_rrr(index, codes, lengths):
+            out = streaming_search(index, codes, lengths)
+            return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+        regimes["rrr_lf_hit98"] = {
+            "qps": timed(
+                lambda cc: run_rrr(rrr.device_index, cc, l_small), c_small, n_q=nq_small
+            ),
+            "reps": 3,
+            "n_reads": n_small,
+        }
+        for name, r in regimes.items():
+            r["qps"] = round(r["qps"])
+            write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
+        with open("BENCH_REGIMES.json", "w") as f:
+            json.dump({"k": k, "read_len": read_len, "regimes": regimes}, f, indent=1)
 
     baseline = 100e6  # BASELINE.json: >=100M k-mer queries/s/chip
     print(

@@ -119,9 +119,9 @@ def search_main(argv) -> int:
                    default="auto",
                    help="query engine: LF rank engine, or the successor turbo "
                         "table (turbo2: pairs, 128 B HBM/column; turbo3: "
-                        "triples, 1 KiB/column; turbo/auto pick arity by "
-                        "index size, auto only for plain-matrix up to 16M "
-                        "columns)")
+                        "triples, 1 KiB/column; turbo/auto pick the largest "
+                        "arity that fits measured free device memory, "
+                        "degrading 3 -> 2 -> LF)")
     args = p.parse_args(argv)
 
     t_start = time.perf_counter()
@@ -144,16 +144,18 @@ def search_main(argv) -> int:
         args.engine == "auto"
         and sbwt.variant == "plain-matrix"
         and sbwt.has_streaming_query_support()
-        and sbwt.number_of_subsets() <= 16_000_000  # ~2 GB pair table
     )
     if want_turbo:
         try:
             arity = {"turbo2": 2, "turbo3": 3}.get(args.engine)
-            sbwt.enable_turbo(arity=arity)
-            write_log(
-                f"Turbo successor engine enabled (arity {sbwt._turbo.arity})"
-            )
+            # auto measures free device memory and degrades 3 -> 2 -> LF
+            chosen = sbwt.enable_turbo(arity=arity)
+            if chosen is None:
+                write_log("Turbo table exceeds free device memory; using LF engine")
+            else:
+                write_log(f"Turbo successor engine enabled (arity {chosen})")
         except Exception as e:  # fall back to the LF engine
+            sbwt._turbo = None
             write_log(f"Turbo engine unavailable ({e}); using LF engine")
     n = run_query_files(sbwt, in_files, out_files, args.gzip_output)
     total = time.perf_counter() - t_start

@@ -160,7 +160,7 @@ def _run_file_native(sbwt, src: str, out_f) -> tuple[int, float]:
 def run_query_files(sbwt, in_files: list[str], out_files: list[str], gzip_output: bool):
     """Full `sbwt search` equivalent over file lists (sbwt_search.cpp:109-141)."""
     from .. import native
-    from .seqio import read_sequences
+    from .seqio import iter_sequence_batches
 
     total_queries = 0
     for src, dst in zip(in_files, out_files):
@@ -173,9 +173,15 @@ def run_query_files(sbwt, in_files: list[str], out_files: list[str], gzip_output
             if native.available():
                 n_queries, engine_s = _run_file_native(sbwt, src, out_f)
             else:
-                reads = read_sequences(src)
-                rows, n_queries, engine_s = run_queries_on_reads(sbwt, reads)
-                out_f.write(format_answers(rows))
+                # pure-Python fallback: bounded read batches, answers
+                # written per batch — never the whole file in memory
+                n_queries = 0
+                engine_s = 0.0
+                for reads in iter_sequence_batches(src):
+                    rows, nq, es = run_queries_on_reads(sbwt, reads)
+                    out_f.write(format_answers(rows))
+                    n_queries += nq
+                    engine_s += es
         finally:
             out_f.close()
         total_queries += n_queries

@@ -107,6 +107,55 @@ def read_batches(
 ):
     """Yield (reads, path_index) groups of raw byte reads per input file."""
     for pi, path in enumerate(paths):
-        reads = read_sequences(path)
-        for i in range(0, len(reads), max_batch_reads):
-            yield reads[i : i + max_batch_reads], pi
+        for batch in iter_sequence_batches(path, max_reads=max_batch_reads):
+            yield batch, pi
+
+
+def iter_sequence_batches(
+    path: str, max_reads: int = 1 << 14, max_bases: int = 1 << 25
+):
+    """Stream a FASTA/FASTQ(.gz) file as bounded batches of raw reads.
+
+    The pure-Python counterpart of the native streaming reader
+    (native/seqio.c): peak memory is one batch, never the whole file —
+    the same incremental contract as seq_io::Reader's
+    get_next_read_to_buffer loop (used at sbwt_search.cpp:51-55)."""
+    fmt = figure_out_file_format(path)
+    opener = gzip.open if path.endswith(".gz") else open
+    batch: list[bytes] = []
+    bases = 0
+    with opener(path, "rb") as f:
+        if fmt.format == "fasta":
+            cur: list[bytes] = []
+            started = False
+            for line in f:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if started:
+                        seq = b"".join(cur)
+                        batch.append(seq)
+                        bases += len(seq)
+                        cur.clear()
+                        if len(batch) >= max_reads or bases >= max_bases:
+                            yield batch
+                            batch, bases = [], 0
+                    started = True
+                elif started:
+                    cur.append(line)
+            if started:
+                batch.append(b"".join(cur))
+        else:
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                seq = f.readline().rstrip(b"\r\n")
+                f.readline()  # '+'
+                f.readline()  # quality
+                batch.append(seq)
+                bases += len(seq)
+                if len(batch) >= max_reads or bases >= max_bases:
+                    yield batch
+                    batch, bases = [], 0
+    if batch:
+        yield batch

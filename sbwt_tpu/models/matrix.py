@@ -33,6 +33,10 @@ class FusedRowEngineMixin:
     tensor-parallel view (psum-combined shard gathers, parallel/sharded.py).
     """
 
+    # Lane position dtype for the engines; the >=2^31-column engine
+    # (models/wide.py) overrides this with int64.
+    pos_dtype = jnp.int32
+
     def rank_c(self, c, pos):
         """Count of character c in subsets 0..pos-1 (SubsetMatrixRank.hh:31-37).
 
@@ -129,10 +133,21 @@ def from_host_arrays(
     n_kmers: int,
     precalc_k: int = 0,
     precalc_table: np.ndarray | None = None,
-) -> MatrixIndex:
+):
     n = bits.shape[1]
     if n >= 2**31:
-        raise ValueError("index too large for int32 engine (>= 2^31 columns)")
+        # Route to the int64 engine (models/wide.py) past the int32 ceiling.
+        row_words = np.stack([bv.pack_bits_host(bits[c]) for c in range(4)])
+        sgs_words = (
+            bv.pack_bits_host(suffix_group_starts)
+            if suffix_group_starts is not None and len(suffix_group_starts)
+            else None
+        )
+        from .wide import from_packed_rows_wide
+
+        return from_packed_rows_wide(
+            row_words, n, sgs_words, k, n_kmers, precalc_k, precalc_table
+        )
     tbls = [bv.rank_table_host(bits[c]) for c in range(4)]
     W = tbls[0].shape[0]
     rank_tbl = np.concatenate(tbls, axis=0)  # [4W, 2]
@@ -161,6 +176,65 @@ def from_host_arrays(
         C=jnp.asarray(C),
         precalc=jnp.zeros((1, 2), dtype=jnp.int32),
         n_nodes=n,
+        n_kmers=int(n_kmers),
+        k=int(k),
+        precalc_k=0,
+        n_words=W,
+        has_streaming=bool(has_streaming),
+    )
+    if precalc_table is not None:
+        index = dataclasses.replace(
+            index, precalc=jnp.asarray(precalc_table, dtype=jnp.int32), precalc_k=precalc_k
+        )
+    elif precalc_k > 0:
+        index = with_precalc(index, precalc_k)
+    return index
+
+
+def from_packed_rows(
+    row_words: np.ndarray,
+    n: int,
+    sgs_words: np.ndarray | None,
+    k: int,
+    n_kmers: int,
+    precalc_k: int = 0,
+    precalc_table: np.ndarray | None = None,
+):
+    """Build a device index directly from packed uint32 rows [4, n//32+1]
+    without materializing bool arrays (8 bytes/column saved — required at
+    pangenome scale).  Auto-selects the int64 engine at n >= 2^31."""
+    W = n // 32 + 1
+    assert row_words.shape == (4, W)
+    if n >= 2**31:
+        from .wide import from_packed_rows_wide
+
+        return from_packed_rows_wide(
+            row_words, n, sgs_words, k, n_kmers, precalc_k, precalc_table
+        )
+    rank_tbl = np.concatenate(
+        [bv.rank_table_from_words(row_words[c]) for c in range(4)], axis=0
+    )
+    has_streaming = sgs_words is not None
+    if has_streaming:
+        sw = sgs_words.view(np.int32)
+        sgs_tbl = np.empty((W, 2), dtype=np.int32)
+        sgs_tbl[:, 0] = sw
+        sgs_tbl[0, 1] = 0
+        sgs_tbl[1:, 1] = sw[:-1]
+    else:
+        sgs_tbl = np.zeros((1, 2), dtype=np.int32)
+    counts = [int(bv.popcount_words_host(row_words[c]).sum()) for c in range(4)]
+    C = np.empty(4, dtype=np.int32)
+    C[0] = 1
+    C[1] = C[0] + counts[0]
+    C[2] = C[1] + counts[1]
+    C[3] = C[2] + counts[2]
+    index = MatrixIndex(
+        rank_tbl=jnp.asarray(rank_tbl),
+        sgs_tbl=jnp.asarray(sgs_tbl),
+        C=jnp.asarray(C),
+        precalc=jnp.zeros((1, 2), dtype=jnp.int32),
+        n_nodes=int(n),
         n_kmers=int(n_kmers),
         k=int(k),
         precalc_k=0,

@@ -64,12 +64,7 @@ class SBWT:
         variant: str = "plain-matrix",
         precalc_table: np.ndarray | None = None,
     ):
-        self.bits = np.asarray(bits, dtype=bool)
-        self.suffix_group_starts = (
-            np.asarray(suffix_group_starts, dtype=bool)
-            if suffix_group_starts is not None
-            else np.empty(0, dtype=bool)
-        )
+        self._set_host_bits(bits, suffix_group_starts)
         self.variant = variant
         if variant == "plain-matrix":
             self.device_index = from_host_arrays(
@@ -93,16 +88,39 @@ class SBWT:
                 precalc_table=precalc_table,
             )
 
-    @classmethod
-    def from_device_index(cls, device_index, bits, suffix_group_starts):
-        """Wrap an already-built device index (e.g. loaded from a payload)."""
-        self = object.__new__(cls)
-        self.bits = np.asarray(bits, dtype=bool)
-        self.suffix_group_starts = (
+    def _set_host_bits(self, bits, suffix_group_starts):
+        """Host copies are retained PACKED (1 bit/entry, not numpy's
+        1 byte/bool): at pangenome scale the 8x difference is GBs of host
+        RAM.  `.bits` / `.suffix_group_starts` unpack on demand."""
+        bits = np.asarray(bits, dtype=bool)
+        self._n_cols = bits.shape[1]
+        self._bits_packed = np.packbits(bits, axis=1, bitorder="little")
+        sgs = (
             np.asarray(suffix_group_starts, dtype=bool)
             if suffix_group_starts is not None
             else np.empty(0, dtype=bool)
         )
+        self._n_sgs = len(sgs)
+        self._sgs_packed = np.packbits(sgs, bitorder="little")
+
+    @property
+    def bits(self) -> np.ndarray:
+        """The four indicator rows as bools [4, n] (unpacked on demand)."""
+        return np.unpackbits(
+            self._bits_packed, axis=1, bitorder="little", count=self._n_cols
+        ).astype(bool)
+
+    @property
+    def suffix_group_starts(self) -> np.ndarray:
+        return np.unpackbits(
+            self._sgs_packed, bitorder="little", count=self._n_sgs
+        ).astype(bool)
+
+    @classmethod
+    def from_device_index(cls, device_index, bits, suffix_group_starts):
+        """Wrap an already-built device index (e.g. loaded from a payload)."""
+        self = object.__new__(cls)
+        self._set_host_bits(bits, suffix_group_starts)
         self.variant = getattr(device_index, "variant", "plain-matrix")
         self.device_index = device_index
         return self
@@ -263,17 +281,28 @@ class SBWT:
             raise ValueError(f"query shorter than k={self.k}")
         return int(self.search_batch(codes[None, :])[0])
 
-    def enable_turbo(self, arity: int | None = None) -> None:
+    def enable_turbo(
+        self, arity: int | None = None, free_bytes: int | None = None
+    ) -> int | None:
         """Build the successor turbo table (ops/turbo.py): 128 B (arity 2)
         or 1 KiB (arity 3) of HBM per column for ~4-6x the streaming
         query throughput.  Exact same answers; used automatically by
-        streaming_search_batch.  Default arity: 3 for indexes small
-        enough to afford the table (<= 6M columns), else 2."""
+        streaming_search_batch.
+
+        arity=None measures free device memory and picks the largest
+        affordable tier, degrading 3 -> 2 -> LF (returns None and leaves
+        the LF engine active) instead of OOMing.  Returns the arity
+        enabled.  free_bytes overrides the measurement (tests)."""
         from ..ops.turbo import build_turbo
+        from ..utils.memory import select_turbo_arity
 
         if arity is None:
-            arity = 3 if self.number_of_subsets() <= 6_000_000 else 2
+            arity = select_turbo_arity(self.number_of_subsets(), free_bytes)
+            if arity is None:
+                self._turbo = None
+                return None
         self._turbo = build_turbo(self.device_index, arity=arity)
+        return arity
 
     def streaming_search_batch(
         self, codes: np.ndarray, lengths: np.ndarray | None = None

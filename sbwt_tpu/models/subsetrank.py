@@ -41,6 +41,22 @@ from ..ops.wavelet import WaveletTree
 _ONE32 = np.uint32(1)
 
 
+def _pack_width_u32(vals: np.ndarray, width: int) -> np.ndarray:
+    """Pack width-bit values into a little-endian uint32 word stream."""
+    bits = ((vals[:, None] >> np.arange(width, dtype=np.int64)) & 1).astype(np.uint8)
+    flat = bits.ravel()
+    pad = (-len(flat)) % 32
+    flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(flat, bitorder="little").view(np.uint32).copy()
+
+
+def _unpack_width_u32(words: np.ndarray, width: int, count: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.ascontiguousarray(words, dtype=np.uint32).view(np.uint8), bitorder="little"
+    )[: count * width].reshape(count, width)
+    return (bits.astype(np.int64) << np.arange(width, dtype=np.int64)).sum(axis=1)
+
+
 def _concat_rows_build(bits: np.ndarray, kind: str):
     """One BV over char-major concatenated rows + per-char base ranks."""
     flat = np.concatenate([bits[c] for c in range(4)])
@@ -241,17 +257,7 @@ class ConcatRank:
         L = np.ones(total + 1, dtype=bool)
         L[starts[:-1]] = False
         L[total] = False
-        # pack L + window pairs
-        W = total // 32 + 2
-        padded = np.zeros(W * 32, dtype=bool)
-        padded[: total + 1] = L
-        words = np.packbits(padded.reshape(W, 32), axis=1, bitorder="little")
-        words = words.view(np.uint32).ravel().astype(np.uint32)
-        l_words = np.zeros((W, 2), dtype=np.int32)
-        l_words[:, 0] = words.view(np.int32)
-        l_words[:-1, 1] = words[1:].view(np.int32)
-        zeros = np.flatnonzero(~L)  # n+1 zeros
-        samples = zeros[::8].astype(np.int32)
+        l_words, samples = cls._scan_structs(L, total)
         return cls(
             wt=WaveletTree.build(syms, 5, wt_kind),
             l_words=jnp.asarray(l_words),
@@ -321,11 +327,31 @@ class ConcatRank:
         return bits
 
     def payload(self) -> dict:
-        out = {
-            "n": np.int64(self.n),
-            "l_words": np.asarray(self.l_words)[:, 0],  # second column is derived
-            "samples": np.asarray(self.samples),
-        }
+        out = {"n": np.int64(self.n)}
+        if self.wt_kind == "rrr":
+            # mef-concat stores L compressed on disk as Elias-Fano over the
+            # zero (set-boundary) positions — the sd_vector design point of
+            # the reference's mef_concat_sbwt_t (variants.hh:43-49).  The
+            # device scan structures (window words + select0 samples) are
+            # derived, and rebuilt on load like sdsl supports are.
+            words = np.ascontiguousarray(np.asarray(self.l_words)[:, 0]).view(np.uint32)
+            total = int(self.wt.n)
+            L = np.unpackbits(words.view(np.uint8), bitorder="little")[: total + 1].astype(bool)
+            zeros = np.flatnonzero(~L).astype(np.int64)
+            m = len(zeros)
+            wl = max(0, int(np.floor(np.log2(max(1, (total + 1) // m))))) if m else 0
+            low = zeros & ((1 << wl) - 1)
+            upper_len = m + ((total + 1) >> wl) + 1
+            upper = np.zeros(upper_len, dtype=bool)
+            upper[(zeros >> wl) + np.arange(m)] = True
+            out["L_ef_upper"] = np.packbits(upper, bitorder="little")
+            out["L_ef_low"] = (
+                np.zeros(0, dtype=np.uint32) if wl == 0 else _pack_width_u32(low, wl)
+            )
+            out["L_ef_meta"] = np.array([wl, m, total, upper_len], dtype=np.int64)
+        else:
+            out["l_words"] = np.asarray(self.l_words)[:, 0]  # col 1 is derived
+            out["samples"] = np.asarray(self.samples)
         for k, v in self.wt.payload().items():
             out[f"wt_{k}"] = v
         return out
@@ -335,17 +361,47 @@ class ConcatRank:
         wt = WaveletTree.from_payload(
             {k[3:]: v for k, v in p.items() if k.startswith("wt_")}, wt_kind
         )
-        w0 = np.asarray(p["l_words"], dtype=np.int32)
-        l_words = np.zeros((len(w0), 2), dtype=np.int32)
-        l_words[:, 0] = w0
-        l_words[:-1, 1] = w0[1:]
+        if "L_ef_meta" in p:
+            wl, m, total, upper_len = [int(x) for x in np.asarray(p["L_ef_meta"])]
+            upper = np.unpackbits(
+                np.asarray(p["L_ef_upper"], dtype=np.uint8), bitorder="little"
+            )[:upper_len].astype(bool)
+            low = (
+                np.zeros(m, dtype=np.int64)
+                if wl == 0
+                else _unpack_width_u32(np.asarray(p["L_ef_low"]), wl, m)
+            )
+            zeros = ((np.flatnonzero(upper) - np.arange(m)) << wl) | low
+            L = np.ones(total + 1, dtype=bool)
+            L[zeros] = False
+            l_words, samples = cls._scan_structs(L, total)
+        else:
+            w0 = np.asarray(p["l_words"], dtype=np.int32)
+            l_words = np.zeros((len(w0), 2), dtype=np.int32)
+            l_words[:, 0] = w0
+            l_words[:-1, 1] = w0[1:]
+            samples = np.asarray(p["samples"], dtype=np.int32)
         return cls(
             wt=wt,
             l_words=jnp.asarray(l_words),
-            samples=jnp.asarray(np.asarray(p["samples"], dtype=np.int32)),
+            samples=jnp.asarray(samples),
             n=int(p["n"]),
             wt_kind=wt_kind,
         )
+
+    @staticmethod
+    def _scan_structs(L: np.ndarray, total: int):
+        """Derive the device window words + select0 samples from L bools."""
+        W = total // 32 + 2
+        padded = np.zeros(W * 32, dtype=bool)
+        padded[: total + 1] = L
+        words = np.packbits(padded.reshape(W, 32), axis=1, bitorder="little")
+        words = words.view(np.uint32).ravel().astype(np.uint32)
+        l_words = np.zeros((W, 2), dtype=np.int32)
+        l_words[:, 0] = words.view(np.int32)
+        l_words[:-1, 1] = words[1:].view(np.int32)
+        samples = np.flatnonzero(~L)[::8].astype(np.int32)
+        return l_words, samples
 
     def size_in_bytes(self) -> int:
         return (

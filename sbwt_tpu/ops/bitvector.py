@@ -36,20 +36,44 @@ def pack_bits_host(bools: np.ndarray) -> np.ndarray:
     return (b << shifts).sum(axis=1, dtype=np.uint32)
 
 
-def rank_table_host(bools: np.ndarray) -> np.ndarray:
-    """Build the interleaved (bits, exclusive-cum-popcount) table, int32 [W, 2]."""
-    words = pack_bits_host(bools)
+def popcount_words_host(words: np.ndarray) -> np.ndarray:
+    """SWAR popcount of uint32 words, int64 result."""
     v = words.copy()
     v = v - ((v >> np.uint32(1)) & np.uint32(0x55555555))
     v = (v & np.uint32(0x33333333)) + ((v >> np.uint32(2)) & np.uint32(0x33333333))
     v = (v + (v >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
-    pops = ((v * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+    return ((v * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+
+
+def rank_table_from_words(words: np.ndarray) -> np.ndarray:
+    """Interleaved (bits, exclusive-cum-popcount) table from packed words,
+    int32 [W, 2]."""
+    pops = popcount_words_host(words)
     cum = np.concatenate([[0], np.cumsum(pops)[:-1]])
     if cum[-1] + pops[-1] >= 2**31:
         raise ValueError("bit vector too large for int32 rank (>=2^31 set bits)")
     tbl = np.empty((len(words), 2), dtype=np.int32)
     tbl[:, 0] = words.view(np.int32)
     tbl[:, 1] = cum.astype(np.int32)
+    return tbl
+
+
+def rank_table_host(bools: np.ndarray) -> np.ndarray:
+    """Build the interleaved (bits, exclusive-cum-popcount) table, int32 [W, 2]."""
+    return rank_table_from_words(pack_bits_host(bools))
+
+
+def rank_table_from_words_wide(words: np.ndarray) -> np.ndarray:
+    """64-bit-rank table for bit vectors past 2^31 set bits: int32 [W, 3]
+    rows (bits word, cum low 32, cum high 32).  One fused 12-byte gather
+    still serves a full rank query (the narrow layout's design goal); the
+    engine reassembles the int64 count on device (models/wide.py)."""
+    pops = popcount_words_host(words)
+    cum = np.concatenate([[0], np.cumsum(pops)[:-1]])
+    tbl = np.empty((len(words), 3), dtype=np.int32)
+    tbl[:, 0] = words.view(np.int32)
+    tbl[:, 1] = (cum & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    tbl[:, 2] = (cum >> 32).astype(np.int32)
     return tbl
 
 

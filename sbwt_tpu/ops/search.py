@@ -99,8 +99,9 @@ def search_batch(index, codes):
         l = jnp.where(alive0, l, 0)
         r = jnp.where(alive0, r, 0)
     else:
-        l = jnp.zeros(B, dtype=jnp.int32)
-        r = jnp.full(B, index.n_nodes - 1, dtype=jnp.int32)
+        dt = getattr(index, "pos_dtype", jnp.int32)
+        l = jnp.zeros(B, dtype=dt)
+        r = jnp.full(B, index.n_nodes - 1, dtype=dt)
         alive0 = jnp.ones(B, dtype=bool)
 
     def step(carry, ct):
@@ -223,8 +224,9 @@ def partial_search_batch(index, codes, lengths=None):
     """
     B, L = codes.shape
     codes = codes.astype(jnp.int32)
-    l0 = jnp.zeros(B, dtype=jnp.int32)
-    r0 = jnp.full(B, index.n_nodes - 1, dtype=jnp.int32)
+    dt = getattr(index, "pos_dtype", jnp.int32)
+    l0 = jnp.zeros(B, dtype=dt)
+    r0 = jnp.full(B, index.n_nodes - 1, dtype=dt)
     alive0 = jnp.ones(B, dtype=bool)
     mlen0 = jnp.zeros(B, dtype=jnp.int32)
 

@@ -1,0 +1,62 @@
+"""Device memory headroom probes for capacity-aware engine selection.
+
+The turbo successor tables (ops/turbo.py) cost 128 B (arity 2) or 1 KiB
+(arity 3) of HBM per column; auto mode must degrade 3 -> 2 -> LF based on
+*measured* free memory instead of OOM-killing the CLI (the reference
+never OOMs here because it has no such table — graceful degradation is
+the parity-preserving behavior)."""
+from __future__ import annotations
+
+import os
+
+import jax
+
+# build workspace + run-time arrays need room too; never plan to fill
+# more than this fraction of free memory with the turbo table
+HEADROOM_FRACTION = 0.5
+
+
+def device_free_bytes(device=None) -> int | None:
+    """Free memory of a device, or None when it cannot be measured.
+
+    TPU/GPU backends report allocator stats via memory_stats(); the CPU
+    backend allocates from host RAM, measured via sysconf."""
+    d = device or jax.devices()[0]
+    try:
+        stats = d.memory_stats()
+    except Exception:
+        stats = None
+    if stats and "bytes_limit" in stats:
+        return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    if d.platform == "cpu":
+        try:
+            return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            return None
+    return None
+
+
+def turbo_table_bytes(n_nodes: int, arity: int) -> int:
+    """HBM cost of the successor table (ops/turbo.py layout):
+    int32 [n * 4^arity, width] with width 2 (arity 2) or 4 (arity 3)."""
+    width = 2 if arity == 2 else 4
+    return n_nodes * (4**arity) * width * 4
+
+
+def select_turbo_arity(n_nodes: int, free_bytes: int | None = None) -> int | None:
+    """Largest affordable turbo arity (3, 2) or None for the LF engine.
+
+    free_bytes defaults to the measured free memory of the default device;
+    the table may take at most HEADROOM_FRACTION of it."""
+    if free_bytes is None:
+        free_bytes = device_free_bytes()
+    if free_bytes is None:
+        # unmeasurable: conservative legacy thresholds (2 GB pair table)
+        if n_nodes <= 6_000_000:
+            return 3
+        return 2 if n_nodes <= 16_000_000 else None
+    budget = int(free_bytes * HEADROOM_FRACTION)
+    for arity in (3, 2):
+        if turbo_table_bytes(n_nodes, arity) <= budget:
+            return arity
+    return None
