@@ -42,44 +42,170 @@ static uint64_t *sort_u64(uint64_t *a, uint64_t *tmp, int64_t n) {
 }
 
 /* ------------------------------------------------------------------ */
-/* worker pool: sort blocks and spill to run files                     */
+/* block pipeline: a bounded single-producer / multi-consumer queue so */
+/* the producer's fread overlaps with worker sorting — the pipeline    */
+/* parallelism of the reference's ParallelBoundedQueue (EM_sort.cpp:   */
+/* 102-134, ParallelBoundedQueue.hh:98-142)                            */
 /* ------------------------------------------------------------------ */
+
+/* W-word record comparison, word 0 most significant == colex k-mer order
+ * for the multi-word packing of utils/kmers_wide.py (k up to 255). */
+static inline int cmp_rec(const uint64_t *a, const uint64_t *b, int W) {
+    for (int w = 0; w < W; w++) {
+        if (a[w] < b[w]) return -1;
+        if (a[w] > b[w]) return 1;
+    }
+    return 0;
+}
+
+/* Per-thread record width for the plain-qsort comparator (portable:
+ * GNU and BSD disagree on the qsort_r signature). */
+static _Thread_local int tls_W;
+
+static int cmp_rec_qsort(const void *a, const void *b) {
+    return cmp_rec(a, b, tls_W);
+}
+
 typedef struct {
     uint64_t *data;
-    int64_t n;
+    int64_t n; /* records */
     char path[4096];
-} Job;
+} Block;
+
+#define BQ_CAP 2 /* producer look-ahead blocks */
 
 typedef struct {
-    Job *jobs;
-    int n_jobs;
-    int next;
-    int err;
+    Block slots[BQ_CAP];
+    int head, count;
+    int done, err;
+    int W; /* record width in words (1 = radix fast path) */
     pthread_mutex_t mu;
-} Pool;
+    pthread_cond_t not_full, not_empty;
+} BlockQueue;
 
-static void *worker(void *arg) {
-    Pool *p = arg;
-    for (;;) {
-        pthread_mutex_lock(&p->mu);
-        int i = p->next < p->n_jobs ? p->next++ : -1;
-        pthread_mutex_unlock(&p->mu);
-        if (i < 0) return NULL;
-        Job *j = &p->jobs[i];
-        uint64_t *tmp = malloc(j->n * sizeof(uint64_t));
-        uint64_t *sorted = sort_u64(j->data, tmp, j->n);
-        FILE *f = fopen(j->path, "wb");
-        int64_t wrote = f ? (int64_t)fwrite(sorted, sizeof(uint64_t), j->n, f) : -1;
-        if (f) fclose(f);
-        free(j->data == sorted ? tmp : j->data);
-        free(j->data == sorted ? NULL : tmp);
-        j->data = NULL;
-        if (wrote != j->n) {
-            pthread_mutex_lock(&p->mu);
-            p->err = 1;
-            pthread_mutex_unlock(&p->mu);
-        }
+static void bq_init(BlockQueue *q, int W) {
+    memset(q, 0, sizeof(*q));
+    q->W = W;
+    pthread_mutex_init(&q->mu, NULL);
+    pthread_cond_init(&q->not_full, NULL);
+    pthread_cond_init(&q->not_empty, NULL);
+}
+
+static void bq_push(BlockQueue *q, Block b) {
+    pthread_mutex_lock(&q->mu);
+    while (q->count == BQ_CAP && !q->err) pthread_cond_wait(&q->not_full, &q->mu);
+    if (q->err) {
+        free(b.data);
+    } else {
+        q->slots[(q->head + q->count) % BQ_CAP] = b;
+        q->count++;
+        pthread_cond_signal(&q->not_empty);
     }
+    pthread_mutex_unlock(&q->mu);
+}
+
+static int bq_pop(BlockQueue *q, Block *out) {
+    pthread_mutex_lock(&q->mu);
+    while (q->count == 0 && !q->done) pthread_cond_wait(&q->not_empty, &q->mu);
+    if (q->count == 0) {
+        pthread_mutex_unlock(&q->mu);
+        return 0;
+    }
+    *out = q->slots[q->head];
+    q->head = (q->head + 1) % BQ_CAP;
+    q->count--;
+    pthread_cond_signal(&q->not_full);
+    pthread_mutex_unlock(&q->mu);
+    return 1;
+}
+
+static void bq_finish(BlockQueue *q) {
+    pthread_mutex_lock(&q->mu);
+    q->done = 1;
+    pthread_cond_broadcast(&q->not_empty);
+    pthread_mutex_unlock(&q->mu);
+}
+
+static void bq_set_err(BlockQueue *q) {
+    pthread_mutex_lock(&q->mu);
+    q->err = 1;
+    pthread_cond_broadcast(&q->not_full);
+    pthread_cond_broadcast(&q->not_empty);
+    pthread_mutex_unlock(&q->mu);
+}
+
+static void *pipeline_worker(void *arg) {
+    BlockQueue *q = arg;
+    Block b;
+    while (bq_pop(q, &b)) {
+        int64_t wrote = -1;
+        if (q->W == 1) {
+            uint64_t *tmp = malloc(b.n * sizeof(uint64_t));
+            if (tmp) {
+                uint64_t *sorted = sort_u64(b.data, tmp, b.n);
+                FILE *f = fopen(b.path, "wb");
+                if (f) {
+                    wrote = (int64_t)fwrite(sorted, sizeof(uint64_t), b.n, f);
+                    fclose(f);
+                }
+                free(sorted == b.data ? tmp : b.data);
+                if (sorted != b.data) b.data = tmp; /* freed below */
+            }
+        } else {
+            tls_W = q->W;
+            qsort(b.data, b.n, q->W * sizeof(uint64_t), cmp_rec_qsort);
+            FILE *f = fopen(b.path, "wb");
+            if (f) {
+                wrote = (int64_t)fwrite(b.data, q->W * sizeof(uint64_t), b.n, f);
+                fclose(f);
+            }
+        }
+        free(b.data);
+        if (wrote != b.n) bq_set_err(q);
+    }
+    return NULL;
+}
+
+/* Read in_path in blocks of block_recs W-word records, sort + spill them
+ * through n_threads pipeline workers; returns the run count (paths are
+ * "<tmp>/<prefix>_run_<i>.bin") or -1 on error. */
+static int spill_sorted_runs(FILE *in, const char *tmp_dir, const char *prefix,
+                             int W, int64_t block_recs, int n_threads) {
+    BlockQueue q;
+    bq_init(&q, W);
+    pthread_t th[256];
+    int nt = n_threads > 256 ? 256 : n_threads;
+    for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, pipeline_worker, &q);
+    size_t rec = (size_t)W * sizeof(uint64_t);
+    int n_runs = 0, oom = 0;
+    for (;;) {
+        pthread_mutex_lock(&q.mu);
+        int err = q.err;
+        pthread_mutex_unlock(&q.mu);
+        if (err) break;
+        uint64_t *data = malloc(block_recs * rec);
+        if (!data) { oom = 1; break; }
+        int64_t n = fread(data, rec, block_recs, in);
+        if (n <= 0) { free(data); break; }
+        Block b;
+        b.data = data;
+        b.n = n;
+        snprintf(b.path, sizeof(b.path), "%s/%s_run_%d.bin", tmp_dir, prefix, n_runs);
+        n_runs++;
+        bq_push(&q, b);
+    }
+    bq_finish(&q);
+    for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
+    int err = q.err || oom;
+    if (err) {
+        char path[4096];
+        for (int i = 0; i < n_runs; i++) {
+            snprintf(path, sizeof(path), "%s/%s_run_%d.bin", tmp_dir, prefix, i);
+            remove(path);
+        }
+        return -1;
+    }
+    return n_runs;
 }
 
 /* ------------------------------------------------------------------ */
@@ -167,60 +293,30 @@ int em_sort_u64(const char *in_path, const char *out_path,
     if (n_threads < 1) n_threads = 1;
     FILE *in = fopen(in_path, "rb");
     if (!in) return -1;
-    int64_t block = ram_bytes / (2 * n_threads); /* sort needs 2x per block */
+    /* per-block budget: n_threads blocks in flight at 2x (radix double
+     * buffer) + BQ_CAP queued blocks awaiting a worker */
+    int64_t block = ram_bytes / (2 * n_threads + BQ_CAP);
     if (block < (int64_t)(1 << 20)) block = 1 << 20;
     int64_t block_recs = block / 8;
 
-    Job *jobs = NULL;
-    int n_jobs = 0, cap_jobs = 0;
-    for (;;) {
-        uint64_t *data = malloc(block_recs * sizeof(uint64_t));
-        int64_t n = fread(data, sizeof(uint64_t), block_recs, in);
-        if (n <= 0) { free(data); break; }
-        if (n_jobs == cap_jobs) {
-            cap_jobs = cap_jobs ? cap_jobs * 2 : 16;
-            jobs = realloc(jobs, cap_jobs * sizeof(Job));
-        }
-        Job *j = &jobs[n_jobs];
-        j->data = data;
-        j->n = n;
-        snprintf(j->path, sizeof(j->path), "%s/emsort_run_%d.bin", tmp_dir, n_jobs);
-        n_jobs++;
-        /* bound queued memory: sort eagerly once we have n_threads blocks */
-        if (n_jobs % n_threads == 0) {
-            Pool p = {jobs + n_jobs - n_threads, n_threads, 0, 0,
-                      PTHREAD_MUTEX_INITIALIZER};
-            pthread_t th[256];
-            int nt = n_threads > 256 ? 256 : n_threads;
-            for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
-            for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
-            if (p.err) { fclose(in); free(jobs); return -1; }
-        }
-    }
+    int n_jobs = spill_sorted_runs(in, tmp_dir, "emsort", 1, block_recs, n_threads);
     fclose(in);
-    /* sort the tail blocks */
-    int tail = n_jobs % n_threads;
-    if (tail) {
-        Pool p = {jobs + n_jobs - tail, tail, 0, 0, PTHREAD_MUTEX_INITIALIZER};
-        pthread_t th[256];
-        int nt = tail > 256 ? 256 : tail;
-        for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker, &p);
-        for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
-        if (p.err) { free(jobs); return -1; }
-    }
+    if (n_jobs < 0) return -1;
     if (n_jobs == 0) { /* empty input -> empty output */
         FILE *out = fopen(out_path, "wb");
-        if (!out) { free(jobs); return -1; }
+        if (!out) return -1;
         fclose(out);
-        free(jobs);
         return 0;
     }
 
     /* iterative merge passes */
     char **cur = malloc(n_jobs * sizeof(char *));
-    for (int i = 0; i < n_jobs; i++) cur[i] = strdup(jobs[i].path);
+    for (int i = 0; i < n_jobs; i++) {
+        char path[4096];
+        snprintf(path, sizeof(path), "%s/emsort_run_%d.bin", tmp_dir, i);
+        cur[i] = strdup(path);
+    }
     int n_cur = n_jobs, gen = 0;
-    free(jobs);
     while (n_cur > 1) {
         int n_next = (n_cur + MAX_WAY - 1) / MAX_WAY;
         char **next = malloc(n_next * sizeof(char *));
@@ -262,60 +358,6 @@ int em_sort_u64(const char *in_path, const char *out_path,
 /* (word 0 most significant) == colex k-mer order for the multi-word   */
 /* packing of utils/kmers_wide.py (k up to 255, Kmer.hh ceiling).      */
 /* ------------------------------------------------------------------ */
-
-static inline int cmp_rec(const uint64_t *a, const uint64_t *b, int W) {
-    for (int w = 0; w < W; w++) {
-        if (a[w] < b[w]) return -1;
-        if (a[w] > b[w]) return 1;
-    }
-    return 0;
-}
-
-/* Per-thread record width for the plain-qsort comparator (portable:
- * GNU and BSD disagree on the qsort_r signature). */
-static _Thread_local int tls_W;
-
-static int cmp_rec_qsort(const void *a, const void *b) {
-    return cmp_rec(a, b, tls_W);
-}
-
-typedef struct {
-    uint64_t *data;
-    int64_t n; /* records */
-    int W;
-    char path[4096];
-} JobW;
-
-typedef struct {
-    JobW *jobs;
-    int n_jobs;
-    int next;
-    int err;
-    pthread_mutex_t mu;
-} PoolW;
-
-static void *worker_w(void *arg) {
-    PoolW *p = arg;
-    for (;;) {
-        pthread_mutex_lock(&p->mu);
-        int i = p->next < p->n_jobs ? p->next++ : -1;
-        pthread_mutex_unlock(&p->mu);
-        if (i < 0) return NULL;
-        JobW *j = &p->jobs[i];
-        tls_W = j->W;
-        qsort(j->data, j->n, j->W * sizeof(uint64_t), cmp_rec_qsort);
-        FILE *f = fopen(j->path, "wb");
-        int64_t wrote = f ? (int64_t)fwrite(j->data, j->W * sizeof(uint64_t), j->n, f) : -1;
-        if (f) fclose(f);
-        free(j->data);
-        j->data = NULL;
-        if (wrote != j->n) {
-            pthread_mutex_lock(&p->mu);
-            p->err = 1;
-            pthread_mutex_unlock(&p->mu);
-        }
-    }
-}
 
 typedef struct {
     FILE *f;
@@ -396,64 +438,27 @@ int em_sort_u64w(const char *in_path, const char *out_path,
     if (!in) return -1;
     size_t rec = W * sizeof(uint64_t);
     /* 2x headroom: glibc qsort may mergesort via an O(n) scratch buffer */
-    int64_t block = ram_bytes / (2 * n_threads);
+    int64_t block = ram_bytes / (2 * n_threads + BQ_CAP);
     if (block < (int64_t)(1 << 20)) block = 1 << 20;
     int64_t block_recs = block / rec;
 
-    JobW *jobs = NULL;
-    int n_jobs = 0, cap_jobs = 0, sort_err = 0;
-    for (;;) {
-        uint64_t *data = malloc(block_recs * rec);
-        if (!data) { sort_err = 1; break; }
-        int64_t n = fread(data, rec, block_recs, in);
-        if (n <= 0) { free(data); break; }
-        if (n_jobs == cap_jobs) {
-            cap_jobs = cap_jobs ? cap_jobs * 2 : 16;
-            jobs = realloc(jobs, cap_jobs * sizeof(JobW));
-        }
-        JobW *j = &jobs[n_jobs];
-        j->data = data;
-        j->n = n;
-        j->W = W;
-        snprintf(j->path, sizeof(j->path), "%s/emsortw_run_%d.bin", tmp_dir, n_jobs);
-        n_jobs++;
-        if (n_jobs % n_threads == 0) {
-            PoolW p = {jobs + n_jobs - n_threads, n_threads, 0, 0,
-                       PTHREAD_MUTEX_INITIALIZER};
-            pthread_t th[256];
-            int nt = n_threads > 256 ? 256 : n_threads;
-            for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
-            for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
-            if (p.err) { sort_err = 1; break; }
-        }
-    }
+    int n_jobs = spill_sorted_runs(in, tmp_dir, "emsortw", W, block_recs, n_threads);
     fclose(in);
-    int tail = n_jobs % n_threads;
-    if (tail && !sort_err) {
-        PoolW p = {jobs + n_jobs - tail, tail, 0, 0, PTHREAD_MUTEX_INITIALIZER};
-        pthread_t th[256];
-        int nt = tail > 256 ? 256 : tail;
-        for (int t = 0; t < nt; t++) pthread_create(&th[t], NULL, worker_w, &p);
-        for (int t = 0; t < nt; t++) pthread_join(th[t], NULL);
-        if (p.err) sort_err = 1;
-    }
-    if (sort_err) {
-        for (int i = 0; i < n_jobs; i++) { free(jobs[i].data); remove(jobs[i].path); }
-        free(jobs);
-        return -1;
-    }
+    if (n_jobs < 0) return -1;
     if (n_jobs == 0) {
         FILE *out = fopen(out_path, "wb");
-        if (!out) { free(jobs); return -1; }
+        if (!out) return -1;
         fclose(out);
-        free(jobs);
         return 0;
     }
 
     char **cur = malloc(n_jobs * sizeof(char *));
-    for (int i = 0; i < n_jobs; i++) cur[i] = strdup(jobs[i].path);
+    for (int i = 0; i < n_jobs; i++) {
+        char path[4096];
+        snprintf(path, sizeof(path), "%s/emsortw_run_%d.bin", tmp_dir, i);
+        cur[i] = strdup(path);
+    }
     int n_cur = n_jobs, gen = 0;
-    free(jobs);
     while (n_cur > 1) {
         int n_next = (n_cur + MAX_WAY - 1) / MAX_WAY;
         char **next = malloc(n_next * sizeof(char *));
