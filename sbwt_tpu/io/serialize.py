@@ -428,16 +428,15 @@ def load_native(f):
     precalc_table = precalc if meta["precalc_k"] > 0 else None
 
     if meta["variant"] == "plain-matrix":
-        bits = np.unpackbits(payload["bits_packed"], axis=1, bitorder="little")[
-            :, :n
-        ].astype(bool)
-        return SBWT(
-            bits,
-            sgs,
+        # packed fast path: no bool expansion (8 bytes/column saved), and
+        # auto-routing to the int64 engine past 2^31 columns
+        return SBWT.from_packed(
+            payload["bits_packed"],
+            n,
+            payload["sgs_packed"] if meta["has_streaming"] else None,
             k=meta["k"],
             n_kmers=meta["n_kmers"],
             precalc_k=meta["precalc_k"],
-            variant=meta["variant"],
             precalc_table=precalc_table,
         )
 

@@ -125,6 +125,50 @@ class SBWT:
         self.device_index = device_index
         return self
 
+    @classmethod
+    def from_packed(
+        cls,
+        bits_packed: np.ndarray,
+        n: int,
+        sgs_packed: np.ndarray | None,
+        k: int,
+        n_kmers: int,
+        precalc_k: int = 0,
+        precalc_table: np.ndarray | None = None,
+    ):
+        """Build a plain-matrix SBWT from byte-packed rows [4, ceil(n/8)]
+        without ever materializing bool arrays (the native-format load
+        path; 8 bytes/column saved — required at pangenome scale).  Routes
+        to the int64 engine automatically at n >= 2^31."""
+        from .matrix import from_packed_rows
+
+        self = object.__new__(cls)
+        self.variant = "plain-matrix"
+        self._n_cols = int(n)
+        self._bits_packed = np.ascontiguousarray(bits_packed, dtype=np.uint8)
+        if sgs_packed is not None:
+            self._n_sgs = int(n)
+            self._sgs_packed = np.ascontiguousarray(sgs_packed, dtype=np.uint8)
+        else:
+            self._n_sgs = 0
+            self._sgs_packed = np.zeros(0, dtype=np.uint8)
+
+        def to_words(packed_rows):
+            W = n // 32 + 1
+            buf = np.zeros((packed_rows.shape[0], W * 4), dtype=np.uint8)
+            buf[:, : packed_rows.shape[1]] = packed_rows
+            return buf.view("<u4").astype(np.uint32)
+
+        row_words = to_words(self._bits_packed)
+        sgs_words = (
+            to_words(self._sgs_packed[None, :])[0] if sgs_packed is not None else None
+        )
+        self.device_index = from_packed_rows(
+            row_words, n, sgs_words, k=k, n_kmers=n_kmers,
+            precalc_k=precalc_k, precalc_table=precalc_table,
+        )
+        return self
+
     def to_variant(self, variant: str) -> "SBWT":
         """Re-encode into another variant, preserving k / n_kmers / precalc
         (the build-variant path, src/CLI/sbwt_build_from_plain_matrix.cpp)."""
