@@ -471,44 +471,110 @@ def rrr_nr_to_bin(k: int, nr: int) -> int:
     return out
 
 
+# C(62 - p, j) for the vectorized combinatorial rank/unrank: processing a
+# block LSB-first, a set bit at position p with j ones still unplaced
+# contributes C(62-p, j) (rrr_helper::bin_to_nr walks exactly this).
+_CTAB62 = np.zeros((_RRR_BS, _RRR_BS + 1), dtype=np.int64)
+for _p in range(_RRR_BS):
+    for _j in range(min(_RRR_BS - 1 - _p, _RRR_BS) + 1):
+        _CTAB62[_p, _j] = math.comb(_RRR_BS - 1 - _p, _j)
+_SPACE_TAB = np.array([rrr_space_for_bt(x) for x in range(_RRR_BS + 1)], dtype=np.int64)
+
+
+def _blocks_from_bools(bools: np.ndarray, n_alloc: int) -> np.ndarray:
+    """[n_alloc, 63] bit matrix (zero-padded) of the 63-bit blocks."""
+    padded = np.zeros(n_alloc * _RRR_BS, dtype=bool)
+    padded[: len(bools)] = bools
+    return padded.reshape(n_alloc, _RRR_BS)
+
+
+def _bin_to_nr_vec(bits: np.ndarray) -> np.ndarray:
+    """Vectorized rrr_helper::bin_to_nr over [n, 63] block bit rows."""
+    b = bits.astype(np.int64)
+    below = np.cumsum(b, axis=1) - b  # ones strictly below each position
+    k_tot = b.sum(axis=1, keepdims=True)
+    j = k_tot - below  # ones still unplaced when reaching position p
+    contrib = _CTAB62[np.arange(_RRR_BS)[None, :], np.clip(j, 0, _RRR_BS)]
+    nr = (contrib * b).sum(axis=1)
+    # all-zeros / all-ones blocks encode nr 0 (and occupy no space)
+    k = k_tot[:, 0]
+    nr[(k == 0) | (k == _RRR_BS)] = 0
+    return nr
+
+
+def _nr_to_bin_vec(k: np.ndarray, nr: np.ndarray) -> np.ndarray:
+    """Vectorized inverse: [n, 63] bit rows from (popcount, offset)."""
+    n = len(k)
+    out = np.zeros((n, _RRR_BS), dtype=bool)
+    k_rem = k.astype(np.int64).copy()
+    nr = nr.astype(np.int64).copy()
+    for p in range(_RRR_BS):
+        t = _CTAB62[p, np.clip(k_rem, 0, _RRR_BS)]
+        # t == 0 iff k_rem > 62-p, i.e. every remaining position must be
+        # set; nr >= 0 == t then forces the bit, matching the scalar walk
+        take = (k_rem > 0) & (nr >= t)
+        out[:, p] = take
+        nr -= np.where(take, t, 0)
+        k_rem -= take.astype(np.int64)
+    return out
+
+
+def _pack_varwidth_stream(values: np.ndarray, widths: np.ndarray, min_bits: int):
+    """OR-scatter variable-width values into a little-endian u64 stream."""
+    offs = np.concatenate([[0], np.cumsum(widths)])
+    total = int(offs[-1])
+    n_words = max((max(total, min_bits) + 63) // 64, 1)
+    stream = np.zeros(n_words + 1, dtype=np.uint64)  # +1: spill word
+    nz = widths > 0
+    v = values[nz].astype(np.uint64)
+    o = offs[:-1][nz]
+    w = (o // 64).astype(np.int64)
+    sh = (o % 64).astype(np.uint64)
+    np.bitwise_or.at(stream, w, (v << sh) & np.uint64(0xFFFFFFFFFFFFFFFF))
+    hi = np.where(sh > 0, v >> (np.uint64(64) - sh), np.uint64(0))
+    np.bitwise_or.at(stream, w + 1, hi)
+    return stream[:n_words], total
+
+
+def _read_varwidth_stream(words: np.ndarray, offs: np.ndarray, widths: np.ndarray):
+    """Gather variable-width values from a little-endian u64 stream."""
+    padded = np.concatenate([words.astype(np.uint64), np.zeros(1, dtype=np.uint64)])
+    w = (offs // 64).astype(np.int64)
+    sh = (offs % 64).astype(np.uint64)
+    lo = padded[w] >> sh
+    hi = np.where(sh > 0, padded[w + 1] << (np.uint64(64) - sh), np.uint64(0))
+    v = lo | hi
+    mask = np.where(
+        widths >= 64, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1)
+    )
+    return v & mask
+
+
 def rrr_encode(bools: np.ndarray) -> dict:
     n = len(bools)
     n_alloc = (n + _RRR_BS) // _RRR_BS  # dummy trailing block when 63 | n
-    blocks = []
-    for i in range(n_alloc):
-        seg = bools[i * _RRR_BS : min((i + 1) * _RRR_BS, n)]
-        v = 0
-        for j, bit in enumerate(seg):
-            if bit:
-                v |= 1 << j
-        blocks.append(v)
-    bt = np.array([bin(v).count("1") for v in blocks], dtype=np.int64)
+    blocks = _blocks_from_bools(bools, n_alloc)
+    true_rank = blocks.sum(axis=1).astype(np.int64)
+    bt = true_rank.copy()
     nsb = (n_alloc + _RRR_K - 1) // _RRR_K
     invert = np.zeros(nsb, dtype=bool)
-    true_rank = bt.copy()  # popcounts before inversion
-    mask63 = (1 << _RRR_BS) - 1
-    for s in range(nsb):
-        i0 = s * _RRR_K
-        if i0 + _RRR_K <= n_alloc:
-            gt = int((bt[i0 : i0 + _RRR_K] > _RRR_BS // 2).sum())
-            if gt > _RRR_K // 2:
-                invert[s] = True
-                bt[i0 : i0 + _RRR_K] = _RRR_BS - bt[i0 : i0 + _RRR_K]
-                for j in range(i0, i0 + _RRR_K):
-                    blocks[j] = (~blocks[j]) & mask63
-    bw = BitWriter()
-    btnrp = np.zeros(nsb, dtype=np.int64)
-    ranks = np.zeros(nsb, dtype=np.int64)
-    sum_rank = 0
-    for i in range(n_alloc):
-        if i % _RRR_K == 0:
-            btnrp[i // _RRR_K] = bw.nbits
-            ranks[i // _RRR_K] = sum_rank
-        space = rrr_space_for_bt(int(bt[i]))
-        if space:
-            bw.append(rrr_bin_to_nr(blocks[i]), space)
-        sum_rank += int(true_rank[i])
-    total_btnr = bw.nbits
+    # superblock inversion: only full-range superblocks (rrr_vector ctor)
+    n_full = n_alloc // _RRR_K
+    if n_full:
+        bt_mat = bt[: n_full * _RRR_K].reshape(n_full, _RRR_K)
+        inv_full = (bt_mat > _RRR_BS // 2).sum(axis=1) > _RRR_K // 2
+        invert[:n_full] = inv_full
+        flip = np.repeat(inv_full, _RRR_K)
+        bt[: n_full * _RRR_K] = np.where(flip, _RRR_BS - bt[: n_full * _RRR_K], bt[: n_full * _RRR_K])
+        blocks[: n_full * _RRR_K] ^= flip[:, None]
+    spaces = _SPACE_TAB[bt]
+    nrs = _bin_to_nr_vec(blocks)
+    stream, total_btnr = _pack_varwidth_stream(nrs, spaces, min_bits=64)
+    offs = np.concatenate([[0], np.cumsum(spaces)])
+    btnrp = offs[0:n_alloc:_RRR_K].astype(np.int64)
+    cum_rank = np.concatenate([[0], np.cumsum(true_rank)])
+    ranks = cum_rank[0:n_alloc:_RRR_K].astype(np.int64)
+    sum_rank = int(cum_rank[-1])
     n_samples = nsb + (1 if n % (_RRR_K * _RRR_BS) > 0 else 0)
     rank_samples = np.zeros(n_samples, dtype=np.int64)
     rank_samples[:nsb] = ranks
@@ -516,7 +582,7 @@ def rrr_encode(bools: np.ndarray) -> dict:
     return {
         "size": n,
         "bt": bt,
-        "btnr_words": bw.words(min_bits=64),
+        "btnr_words": stream,
         "btnr_bits": max(total_btnr, 64),
         "btnrp": btnrp,
         "btnrp_width": _hi(total_btnr) + 1,
@@ -559,25 +625,18 @@ def read_rrr_fields(f) -> dict:
 
 def rrr_decode(fields: dict) -> np.ndarray:
     n = int(fields["size"])
-    bt = fields["bt"]
-    br = BitReader(fields["btnr_words"])
-    mask63 = (1 << _RRR_BS) - 1
-    out = np.zeros(((len(bt)) * _RRR_BS), dtype=bool)
-    pos = 0
-    for i in range(len(bt)):
-        s = i // _RRR_K
-        space = rrr_space_for_bt(int(bt[i]))
-        nr = br.read_at(pos, space) if space else 0
-        pos += space
-        v = rrr_nr_to_bin(int(bt[i]), nr)
-        if s < len(fields["invert"]) and fields["invert"][s]:
-            v = (~v) & mask63
-        if v:
-            base = i * _RRR_BS
-            for j in range(_RRR_BS):
-                if v & (1 << j):
-                    out[base + j] = True
-    return out[:n]
+    bt = np.asarray(fields["bt"], dtype=np.int64)
+    n_alloc = len(bt)
+    spaces = _SPACE_TAB[bt]
+    offs = np.concatenate([[0], np.cumsum(spaces)])[:-1]
+    nrs = _read_varwidth_stream(fields["btnr_words"], offs, spaces).astype(np.int64)
+    blocks = _nr_to_bin_vec(bt, nrs)
+    inv = np.zeros(n_alloc, dtype=bool)
+    sb = np.arange(n_alloc) // _RRR_K
+    valid = sb < len(fields["invert"])
+    inv[valid] = np.asarray(fields["invert"], dtype=bool)[sb[valid]]
+    blocks ^= inv[:, None]
+    return blocks.reshape(-1)[:n]
 
 
 def read_rrr(f) -> np.ndarray:
@@ -674,47 +733,43 @@ def read_sd(f) -> np.ndarray:
 # (MEF.hpp:424-431).
 # ---------------------------------------------------------------------------
 
+def _compress_even_bits(x: np.ndarray) -> np.ndarray:
+    """pext(x, 0x5555...) — gather the even-position bits of each uint64."""
+    x = x & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
 def mef_optimize_w(bools: np.ndarray) -> int:
     """Replica of mod_ef_vector::optimize_w (MEF.hpp:284-315) including the
-    shrink() quirks (MEF.hpp:341-354: the final word of each pass is
-    truncated, not pair-OR'd), so the chosen width — which is serialized —
-    matches what the reference would pick for the same bits."""
+    shrink() quirks (MEF.hpp:341-354: only words with bit index
+    < size - 64 are pair-OR'd; the tail is truncated in place), so the
+    chosen width — which is serialized — matches what the reference would
+    pick for the same bits.  Vectorized over words."""
     size = len(bools)
     words = bits_to_words(bools)
     best = size
     wl = 0
     while size >= 64:
         wl += 1
-        # shrink: pair-OR words 0..P-1 where i (bit index) < size - 64
+        # words processed: bit indices 0, 64, ... strictly below size - 64
+        P = 0 if size <= 64 else (size - 65) // 64 + 1
+        x = words[:P]
+        y = (x | (x >> np.uint64(1))) & np.uint64(0x5555555555555555)
+        v = _compress_even_bits(y)  # 32-bit results, one per processed word
         new_words = words.copy()
-        P = 0
-        i = 0
-        while i < size - 64:
-            x = int(words[i // 64])
-            y = (x | (x >> 1)) & 0x5555555555555555
-            # compress even bits (pext with mask 0x5555...)
-            v = 0
-            for j in range(32):
-                if y & (1 << (2 * j)):
-                    v |= 1 << j
-            # set_int(j=i//2, v, 32)
-            bitpos = i // 2
-            w = bitpos // 64
-            off = bitpos % 64
-            cur = int(new_words[w]) if w < len(new_words) else 0
-            if off <= 32:
-                cur = (cur & ~(0xFFFFFFFF << off)) | (v << off)
-                cur &= UNDEF
-                new_words[w] = cur
-            else:
-                lo_bits = 64 - off
-                cur = (cur & ((1 << off) - 1)) | ((v & ((1 << lo_bits) - 1)) << off)
-                new_words[w] = cur & UNDEF
-                nxt = int(new_words[w + 1])
-                nxt = (nxt & ~((1 << (32 - lo_bits)) - 1)) | (v >> lo_bits)
-                new_words[w + 1] = nxt & UNDEF
-            P += 1
-            i += 64
+        n_pairs = P // 2
+        if n_pairs:
+            new_words[:n_pairs] = v[0 : 2 * n_pairs : 2] | (
+                v[1 : 2 * n_pairs : 2] << np.uint64(32)
+            )
+        if P % 2:  # odd tail: low half replaced, high half keeps old bits
+            w = P // 2
+            new_words[w] = (words[w] & np.uint64(0xFFFFFFFF00000000)) | v[P - 1]
         size //= 2
         n_words = (size + 63) // 64
         words = new_words[:n_words].copy()
@@ -744,14 +799,12 @@ def mef_encode(bools: np.ndarray, wl: int | None = None) -> dict:
     upper[n_full] = True
     count = int(upper[:n_full].sum())
     lower = np.zeros((count + 1) * bucket, dtype=bool)
-    nxt = 0
-    for i in range(n_full):
-        if upper[i]:
-            lower[nxt * bucket : (nxt + 1) * bucket] = bools[i * bucket : (i + 1) * bucket]
-            nxt += 1
+    if n_full:
+        kept = bools[: n_full * bucket].reshape(n_full, bucket)[upper[:n_full]]
+        lower[: count * bucket] = kept.reshape(-1)
     tail = m % bucket
     if tail:
-        lower[nxt * bucket : nxt * bucket + tail] = bools[n_full * bucket :]
+        lower[count * bucket : count * bucket + tail] = bools[n_full * bucket :]
     return {"m": m, "wl": wl, "upper": upper, "lower": lower}
 
 
@@ -782,15 +835,16 @@ def mef_decode(enc: dict) -> np.ndarray:
     m, wl = int(enc["m"]), int(enc["wl"])
     bucket = 1 << wl
     out = np.zeros(m, dtype=bool)
-    nxt = 0
     n_full = m // bucket
-    for i in range(n_full):
-        if enc["upper"][i]:
-            out[i * bucket : (i + 1) * bucket] = enc["lower"][nxt * bucket : (nxt + 1) * bucket]
-            nxt += 1
+    kept_mask = np.asarray(enc["upper"][:n_full], dtype=bool)
+    count = int(kept_mask.sum())
+    if n_full:
+        rows = out[: n_full * bucket].reshape(n_full, bucket)
+        rows[kept_mask] = enc["lower"][: count * bucket].reshape(count, bucket)
+        out[: n_full * bucket] = rows.reshape(-1)
     tail = m % bucket
     if tail:
-        out[n_full * bucket :] = enc["lower"][nxt * bucket : nxt * bucket + tail]
+        out[n_full * bucket :] = enc["lower"][count * bucket : count * bucket + tail]
     return out
 
 

@@ -101,16 +101,15 @@ def _concat_decompose(bits: np.ndarray):
     n = bits.shape[1]
     sizes = bits.sum(axis=0)
     emit = np.maximum(sizes, 1)
-    concat_parts = []
-    for i in range(n):
-        if sizes[i] == 0:
-            concat_parts.append(b"$")
-        else:
-            concat_parts.append(
-                bytes(_CHAR_BYTES[c] for c in range(4) if bits[c, i])
-            )
-    concat = np.frombuffer(b"".join(concat_parts), dtype=np.uint8)
     total = int(emit.sum())
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(emit, out=starts[1:])
+    concat = np.full(total, ord("$"), dtype=np.uint8)  # empty sets keep '$'
+    offs = starts[:-1].copy()
+    for c in range(4):
+        idx = np.flatnonzero(bits[c])
+        concat[offs[idx]] = _CHAR_BYTES[c]
+        offs[idx] += 1
     L = np.ones(total + 1, dtype=bool)
     starts = np.concatenate([[0], np.cumsum(emit)])
     L[starts] = False  # includes the end sentinel at position `total`
