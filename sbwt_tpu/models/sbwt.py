@@ -453,7 +453,8 @@ class SBWT:
     def _incoming_labels(self) -> np.ndarray:
         """last[i] = label of the incoming edge of column i (-1 for '$')."""
         n = self.number_of_subsets()
-        counts = self.bits.sum(axis=1, dtype=np.int64)
+        bits = self.bits  # unpack once
+        counts = bits.sum(axis=1, dtype=np.int64)
         C = self.C
         last = np.full(n, -1, dtype=np.int8)
         for c in range(4):
@@ -465,7 +466,8 @@ class SBWT:
         (SBWT.hh:648-698), as k rounds of vectorized label propagation."""
         n = self.number_of_subsets()
         k = self.k
-        counts = self.bits.sum(axis=1, dtype=np.int64)
+        bits = self.bits  # unpack once
+        counts = bits.sum(axis=1, dtype=np.int64)
         C = self.C
         out = np.full((n, k), ord("$"), dtype=np.uint8)
         last = self._incoming_labels()
@@ -474,7 +476,7 @@ class SBWT:
             out[:, k - 1 - rnd] = col
             propagated = np.full(n, -1, dtype=np.int8)
             for c in range(4):
-                src = np.flatnonzero(self.bits[c])
+                src = np.flatnonzero(bits[c])
                 propagated[C[c] : C[c] + len(src)] = last[src]
             last = propagated
         return out.tobytes().decode("ascii")
@@ -545,11 +547,12 @@ class SBWT:
         """Concatenated sets, last member lowercased, '$' for empty sets
         (SBWT.hh:750-773), vectorized."""
         n = self.number_of_subsets()
-        sizes = self.bits.sum(axis=0)
+        bits = self.bits  # unpack once
+        sizes = bits.sum(axis=0)
         pieces = []
         chars = np.empty((4, n), dtype=np.uint8)
         for c in range(4):
-            chars[c] = np.where(self.bits[c], CODE_TO_CHAR[c], 0)
+            chars[c] = np.where(bits[c], CODE_TO_CHAR[c], 0)
         # For each column emit its present chars in ACGT order, lowercasing
         # the last; empty sets emit '$'.
         cum = np.cumsum(self.bits, axis=0)  # position of each char within its set
@@ -557,7 +560,7 @@ class SBWT:
         out = []
         for c in range(4):
             row = chars[c].copy()
-            lower_mask = (last_row == c) & self.bits[c]
+            lower_mask = (last_row == c) & bits[c]
             row[lower_mask] += 32  # to lowercase
             out.append(row)
         stacked = np.stack(out)  # [4, n]
