@@ -83,16 +83,17 @@ def main():
         f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "
         f"in {build_s:.1f}s"
     )
-    t0 = time.perf_counter()
-    # arity-3 successor table: 1 KiB/column (4 GB at this index size),
-    # 0.33 dependent gathers per chain answer
-    turbo = build_turbo(sbwt.device_index, arity=3)
-    jax.block_until_ready(turbo.tbl)
-    write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
+    regime = os.environ.get("SBWT_BENCH_REGIME")
+    turbo = None
+    if regime is None or regime.startswith("turbo3"):
+        t0 = time.perf_counter()
+        # arity-3 successor table: 1 KiB/column (4 GB at this index size),
+        # 0.33 dependent gathers per chain answer
+        turbo = build_turbo(sbwt.device_index, arity=3)
+        jax.block_until_ready(turbo.tbl)
+        write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
 
-    codes = sample_read_codes(genome_codes, n_reads, read_len)
     lengths = np.full(n_reads, read_len, dtype=np.int32)
-    codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)
     queries_per_batch = n_reads * (read_len - k + 1)
 
@@ -106,98 +107,90 @@ def main():
         out = turbo_streaming_search(turbo, index, codes, lengths)
         return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
-    # compile + warmup
-    acc0, hits = run(turbo, sbwt.device_index, codes_d, lengths_d)
-    hit = int(hits) / queries_per_batch
-    write_log(f"bench: {queries_per_batch} queries/batch, hit rate {hit:.3f}")
+    if regime is None:
+        codes_d = jnp.asarray(sample_read_codes(genome_codes, n_reads, read_len))
+        # compile + warmup
+        acc0, hits = run(turbo, sbwt.device_index, codes_d, lengths_d)
+        hit = int(hits) / queries_per_batch
+        write_log(f"bench: {queries_per_batch} queries/batch, hit rate {hit:.3f}")
 
-    reps = 5
-    t0 = time.perf_counter()
-    acc = 0
-    for _ in range(reps):
-        s, _ = run(turbo, sbwt.device_index, codes_d, lengths_d)
-        acc += int(s)
-    dt = time.perf_counter() - t0
-    qps = queries_per_batch * reps / dt
+        reps = 5
+        t0 = time.perf_counter()
+        acc = 0
+        for _ in range(reps):
+            s, _ = run(turbo, sbwt.device_index, codes_d, lengths_d)
+            acc += int(s)
+        dt = time.perf_counter() - t0
+        qps = queries_per_batch * reps / dt
 
-    # ---- unfriendly regimes (SBWT_BENCH_MODE=full) ---------------------
-    # hit-rate sweep on the turbo engine (every miss breaks the chain and
-    # costs patch-pass work), the pure LF engine, and a compressed
-    # variant.  Results go to BENCH_REGIMES.json + stderr; stdout stays
-    # the single headline JSON line for the driver.
+    # ---- unfriendly regimes ---------------------------------------------
+    # SBWT_BENCH_MODE=full measures each regime in its OWN subprocess (the
+    # axon single-chip tunnel faults when large dissimilar programs run
+    # back-to-back in one process; fresh processes + the persistent
+    # compile cache sidestep it) and writes BENCH_REGIMES.json.
+    # SBWT_BENCH_REGIME=<name> (internal) measures one regime and prints
+    # its JSON line.
+    if regime:
+        frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
+        if regime.startswith("turbo3"):
+            n_r = n_reads
+            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=2, random_fraction=frac))
+            fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_d)
+        elif regime.startswith("rrr"):
+            n_r = min(n_reads, 1 << 20)
+            write_log("bench: re-encoding rrr-matrix variant")
+            rrr = sbwt.to_variant("rrr-matrix")
+            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=4, random_fraction=frac))
+            l_r = lengths_d[:n_r]
+
+            @jax.jit
+            def run_rrr(index, codes, lengths):
+                out = streaming_search(index, codes, lengths)
+                return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+            fn = lambda cc: run_rrr(rrr.device_index, cc, l_r)
+        else:  # lf
+            n_r = min(n_reads, 1 << 21)
+            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=3, random_fraction=frac))
+            l_r = lengths_d[:n_r]
+
+            @jax.jit
+            def run_lf(index, codes, lengths):
+                out = streaming_search(index, codes, lengths)
+                return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+            fn = lambda cc: run_lf(sbwt.device_index, cc, l_r)
+        n_q = n_r * (read_len - k + 1)
+        fn(c)  # compile + warm
+        reps_r = 3
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps_r):
+            out = fn(c)
+        jax.block_until_ready(out)
+        r_qps = n_q * reps_r / (time.perf_counter() - t0)
+        print(json.dumps({"regime": regime, "qps": round(r_qps), "n_reads": n_r, "reps": reps_r}))
+        return
+
     if os.environ.get("SBWT_BENCH_MODE") == "full":
-        regimes = {"turbo3_hit98": {"qps": qps, "reps": reps, "n_reads": n_reads}}
+        import subprocess
 
-        def timed(fn, *args, reps=3, n_q=queries_per_batch):
-            fn(*args)  # compile + warm
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(reps):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            return n_q * reps / (time.perf_counter() - t0)
-
-        # turbo engine under chain-breaking miss rates (same HBM residency
-        # as the headline run: table + one read batch)
-        for frac, name in [(0.5, "hit50"), (1.0, "hit0")]:
-            c = jnp.asarray(
-                sample_read_codes(genome_codes, n_reads, read_len, seed=2, random_fraction=frac)
+        regimes = {"turbo3_hit98": {"qps": round(qps), "reps": reps, "n_reads": n_reads}}
+        names = ["turbo3_hit50", "turbo3_hit0", "lf_hit98", "lf_hit50", "lf_hit0", "rrr_lf_hit98"]
+        for name in names:
+            env = dict(os.environ)
+            env["SBWT_BENCH_REGIME"] = name
+            env.pop("SBWT_BENCH_MODE", None)
+            proc = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True, text=True
             )
-            regimes[f"turbo3_{name}"] = {
-                "qps": timed(lambda cc: run(turbo, sbwt.device_index, cc, lengths_d), c),
-                "reps": 3,
-                "n_reads": n_reads,
-            }
-            del c
-        # free the 4 GB successor table before the LF / compressed
-        # regimes: each engine is measured with its own working set
-        turbo = None
-        codes_d2 = None
-
-        @jax.jit
-        def run_lf(index, codes, lengths):
-            out = streaming_search(index, codes, lengths)
-            return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
-
-        n_lf = min(n_reads, 1 << 21)  # LF is gather-latency bound; 2M lanes saturate
-        l_lf = lengths_d[:n_lf]
-        nq_lf = n_lf * (read_len - k + 1)
-        for frac, name in [(0.02, "hit98"), (0.5, "hit50"), (1.0, "hit0")]:
-            c = jnp.asarray(
-                sample_read_codes(genome_codes, n_lf, read_len, seed=3, random_fraction=frac)
-            )
-            regimes[f"lf_{name}"] = {
-                "qps": timed(lambda cc: run_lf(sbwt.device_index, cc, l_lf), c, n_q=nq_lf),
-                "reps": 3,
-                "n_reads": n_lf,
-            }
-            del c
-
-        # rrr-matrix (compressed rank: multiple dependent gathers/step)
-        n_small = min(n_reads, 1 << 20)
-        write_log("bench: re-encoding rrr-matrix variant")
-        rrr = sbwt.to_variant("rrr-matrix")
-        c_small = jnp.asarray(
-            sample_read_codes(genome_codes, n_small, read_len, seed=4, random_fraction=0.02)
-        )
-        l_small = lengths_d[:n_small]
-        nq_small = n_small * (read_len - k + 1)
-
-        @jax.jit
-        def run_rrr(index, codes, lengths):
-            out = streaming_search(index, codes, lengths)
-            return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
-
-        regimes["rrr_lf_hit98"] = {
-            "qps": timed(
-                lambda cc: run_rrr(rrr.device_index, cc, l_small), c_small, n_q=nq_small
-            ),
-            "reps": 3,
-            "n_reads": n_small,
-        }
-        for name, r in regimes.items():
-            r["qps"] = round(r["qps"])
-            write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
+            if proc.returncode == 0 and proc.stdout.strip():
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                regimes[name] = {k2: r[k2] for k2 in ("qps", "n_reads", "reps")}
+                write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
+            else:
+                regimes[name] = {"error": proc.stderr[-500:]}
+                write_log(f"bench regime {name}: FAILED")
         with open("BENCH_REGIMES.json", "w") as f:
             json.dump({"k": k, "read_len": read_len, "regimes": regimes}, f, indent=1)
 
