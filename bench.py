@@ -161,13 +161,14 @@ def main():
 
             fn = lambda cc: run_lf(sbwt.device_index, cc, l_r)
         n_q = n_r * (read_len - k + 1)
-        fn(c)  # compile + warm
-        reps_r = 3
+        warm, _ = fn(c)  # compile + warm
+        int(warm)  # scalar fetch forces completion (block_until_ready is
+        reps_r = 3  # unreliable on this backend, see the headline loop)
         t0 = time.perf_counter()
-        out = None
+        acc = 0
         for _ in range(reps_r):
-            out = fn(c)
-        jax.block_until_ready(out)
+            s_, _ = fn(c)
+            acc += int(s_)
         r_qps = n_q * reps_r / (time.perf_counter() - t0)
         print(json.dumps({"regime": regime, "qps": round(r_qps), "n_reads": n_r, "reps": reps_r}))
         return

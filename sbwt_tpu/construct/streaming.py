@@ -76,12 +76,7 @@ class _Prims:
     def searchsorted(self, sorted_vals, queries, side="left"):
         if not self.wide:
             return np.searchsorted(sorted_vals, queries, side=side)
-        idx = kw.searchsorted_rows(sorted_vals, queries)
-        if side == "right":
-            n = len(sorted_vals)
-            hit = (idx < n) & kw.rows_equal(sorted_vals[np.minimum(idx, n - 1)], queries)
-            return idx + hit  # unique rows: right = left + membership
-        return idx
+        return kw.searchsorted_rows(sorted_vals, queries, side=side)
 
     def isin_sorted(self, sorted_vals, queries):
         if not self.wide:
@@ -383,7 +378,7 @@ def build_streaming(
                 found = cursors[c].probe(y)
                 edge_bytes[rep_pos[found]] |= np.uint8(1 << c)
             edge_bytes.tofile(ef)
-            prev_suffix = S[-1] if p.wide else S[-1]
+            prev_suffix = S[-1]
     main.close()
     for c in range(4):
         cursors[c].finalize()
@@ -473,7 +468,11 @@ def build_streaming(
             continue
         if dv is None or kv is None:
             continue
-        # process everything with value <= bound = min of the two tails
+        # process everything with value <= bound = min of the two tails.
+        # When the bound comes from the DUMMY side, k-mers with value ==
+        # bound must be deferred: dummy groups of the same value (longer
+        # prefixes, still sorted before any equal-valued k-mer by length)
+        # may remain in the stream — including inside the dedup carry.
         d_last, k_last = dv[-1], kv[-1]
         if p.wide:
             d_le = not bool(kw.rows_less(k_last[None, :], d_last[None, :])[0])
@@ -481,8 +480,12 @@ def build_streaming(
             d_le = bool(d_last <= k_last)
         bound = d_last if d_le else k_last
         bnd = bound[None, :] if p.wide else np.array([bound], dtype=_U64)
-        nd = int(p.searchsorted(dv, bnd, side="right")[0])
-        nk = int(p.searchsorted(kv, bnd, side="right")[0])
+        if d_le:
+            nd = len(dv)
+            nk = int(p.searchsorted(kv, bnd, side="left")[0])
+        else:
+            nd = int(p.searchsorted(dv, bnd, side="right")[0])
+            nk = int(p.searchsorted(kv, bnd, side="right")[0])
         td_v, td_l, td_m = dv[:nd], dl[:nd], dm[:nd]
         tk_v, tk_e = kv[:nk], ke[:nk]
         # merged positions: dummy i precedes kmers from searchsorted-left

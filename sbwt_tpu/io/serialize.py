@@ -206,7 +206,15 @@ def _write_struct_cpp(f, variant: str, bits: np.ndarray) -> int:
         elif variant == "rrr-split":
             w += sdsl.write_rrr(f, X)
         else:
-            w += sdsl.write_mef(f, X)
+            x_enc = sdsl.mef_encode(X)
+            x_wl = x_enc["wl"]
+            f.write(struct.pack("<Q", x_enc["m"]))
+            f.write(struct.pack("<B", x_wl))
+            w += 9
+            w += sdsl.write_bit_vector(f, x_enc["upper"])
+            w += sdsl.write_bit_vector(f, x_enc["lower"])
+            w += sdsl.write_rank_support_v(f, x_enc["upper"])
+            w += sdsl.write_rank_support_v(f, x_enc["lower"])
         w += sdsl.write_wt_blcd(f, y_char, compressed=False)
         for c in range(4):
             w += sdsl.write_bit_vector(f, Z[c])
@@ -214,7 +222,7 @@ def _write_struct_cpp(f, variant: str, bits: np.ndarray) -> int:
         if variant == "plain-split":
             w += sdsl.write_rank_support_v5(f, X)
         elif variant == "mef-split":
-            w += sdsl.write_mef_rank_support(f, sdsl.mef_optimize_w(X))
+            w += sdsl.write_mef_rank_support(f, x_wl)
         # rrr-split: X's rrr rank support carries no payload
         for c in range(4):
             w += sdsl.write_rank_support_v5(f, Z[c])
@@ -346,7 +354,9 @@ def load_cpp_stream(f):
     assert bits.shape[1] == n_nodes
     precalc_table = None
     if precalc_k > 0:
-        precalc_table = pairs.reshape(-1, 2).astype(np.int32)
+        # keep int64: the builders narrow to int32 only on the narrow
+        # engine; wide (>= 2^31 column) tables must not wrap
+        precalc_table = pairs.reshape(-1, 2)
     sbwt = SBWT(
         bits,
         sgs if len(sgs) else None,
@@ -376,15 +386,17 @@ def load_cpp_stream(f):
 
 def _variant_payload(sbwt) -> dict:
     if sbwt.variant == "plain-matrix":
-        return {"bits_packed": np.packbits(sbwt.bits, axis=1, bitorder="little")}
+        # the host copy is already byte-packed; no bool expansion
+        return {"bits_packed": sbwt._bits_packed}
     return sbwt.device_index.struct.payload()
 
 
 def save_native(path: str, sbwt) -> int:
     di = sbwt.device_index
     payload = _variant_payload(sbwt)
-    payload["sgs_packed"] = np.packbits(sbwt.suffix_group_starts, bitorder="little")
-    payload["precalc"] = np.asarray(di.precalc, dtype=np.int32)
+    payload["sgs_packed"] = sbwt._sgs_packed
+    # preserve the engine's dtype (int32 narrow / int64 wide)
+    payload["precalc"] = np.asarray(di.precalc)
     meta = {
         "variant": sbwt.variant,
         "k": di.k,

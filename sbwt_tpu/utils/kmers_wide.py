@@ -105,9 +105,11 @@ def rows_less(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return res
 
 
-def searchsorted_rows(sorted_vals: np.ndarray, queries: np.ndarray) -> np.ndarray:
-    """np.searchsorted(side='left') for [n, W] sorted rows: vectorized
-    binary search, ~log2(n) comparison passes over the queries."""
+def searchsorted_rows(
+    sorted_vals: np.ndarray, queries: np.ndarray, side: str = "left"
+) -> np.ndarray:
+    """np.searchsorted for [n, W] sorted rows (duplicates allowed):
+    vectorized binary search, ~log2(n) comparison passes over the queries."""
     n = len(sorted_vals)
     m = len(queries)
     lo = np.zeros(m, dtype=np.int64)
@@ -117,8 +119,12 @@ def searchsorted_rows(sorted_vals: np.ndarray, queries: np.ndarray) -> np.ndarra
     steps = int(np.ceil(np.log2(n + 1))) + 1
     for _ in range(steps):
         mid = (lo + hi) >> 1
-        less = rows_less(sorted_vals[np.minimum(mid, n - 1)], queries)
-        take = (mid < hi) & less
+        smid = sorted_vals[np.minimum(mid, n - 1)]
+        if side == "left":
+            go_right = rows_less(smid, queries)  # sorted[mid] < q
+        else:
+            go_right = ~rows_less(queries, smid)  # sorted[mid] <= q
+        take = (mid < hi) & go_right
         lo = np.where(take, mid + 1, lo)
         hi = np.where(take, hi, np.minimum(hi, mid))
     return lo

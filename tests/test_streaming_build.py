@@ -56,6 +56,40 @@ def test_streaming_equals_inmemory_tiny_chunks(k, chunk, tmp_path):
     assert oracle.n_kmers == got.n_kmers
 
 
+@pytest.mark.parametrize("chunk", [1, 2, 3])
+def test_streaming_equal_value_dummy_groups_across_chunks(chunk, tmp_path):
+    """Regression: dummy groups sharing a packed VALUE at different
+    lengths ('A', 'AA', 'AAAA' all pack to 0) must still be emitted before
+    equal-valued k-mers even when the dedup stream's carry splits them
+    across chunks — with chunk_records=1 every carry path is exercised."""
+    seqs = ["AATGGTATCAC", "TTGA", "AAACACG", "AAAAC"]
+    k = 4
+    oracle = build_sbwt(seqs, k)
+    path, n = _distinct_file(seqs, k, tmp_path)
+    tfm = get_temp_file_manager()
+    tfm.set_dir(str(tmp_path))
+    got = build_streaming(path, n, k, True, 1 << 20, 1, tfm, chunk_records=chunk)
+    np.testing.assert_array_equal(oracle.bits, got.bits)
+    np.testing.assert_array_equal(oracle.suffix_group_starts, got.suffix_group_starts)
+
+
+def test_streaming_wide_equal_value_duplicates(tmp_path):
+    """Regression for the wide path: duplicate-value rows inside one dummy
+    buffer (prefixes 'C' and 'AC' pad to equal rows) must all be counted
+    by the right-side row search."""
+    base = "".join(np.random.default_rng(1).choice(list("ACGT"), size=80))
+    seqs = ["C" + base, "AC" + base[:70], "A" * 45, "AC" + "A" * 43 + "G"]
+    k = 40
+    oracle = build_sbwt(seqs, k)
+    path, n = _distinct_file(seqs, k, tmp_path)
+    tfm = get_temp_file_manager()
+    tfm.set_dir(str(tmp_path))
+    for chunk in (1, 5):
+        got = build_streaming(path, n, k, True, 1 << 20, 1, tfm, chunk_records=chunk)
+        np.testing.assert_array_equal(oracle.bits, got.bits)
+        np.testing.assert_array_equal(oracle.suffix_group_starts, got.suffix_group_starts)
+
+
 @pytest.mark.parametrize("k", [40, 70])
 def test_streaming_wide_kmers(k, tmp_path):
     rng = np.random.default_rng(k)
