@@ -179,19 +179,21 @@ def main():
         regimes = {"turbo3_hit98": {"qps": round(qps), "reps": reps, "n_reads": n_reads}}
         names = ["turbo3_hit50", "turbo3_hit0", "lf_hit98", "lf_hit50", "lf_hit0", "rrr_lf_hit98"]
         for name in names:
-            env = dict(os.environ)
-            env["SBWT_BENCH_REGIME"] = name
-            env.pop("SBWT_BENCH_MODE", None)
-            proc = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True, text=True
-            )
-            if proc.returncode == 0 and proc.stdout.strip():
-                r = json.loads(proc.stdout.strip().splitlines()[-1])
-                regimes[name] = {k2: r[k2] for k2 in ("qps", "n_reads", "reps")}
-                write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
-            else:
+            for attempt in range(3):
+                env = dict(os.environ)
+                env["SBWT_BENCH_REGIME"] = name
+                env.pop("SBWT_BENCH_MODE", None)
+                proc = subprocess.run(
+                    [sys.executable, __file__], env=env, capture_output=True, text=True
+                )
+                if proc.returncode == 0 and proc.stdout.strip():
+                    r = json.loads(proc.stdout.strip().splitlines()[-1])
+                    regimes[name] = {k2: r[k2] for k2 in ("qps", "n_reads", "reps")}
+                    write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
+                    break
                 regimes[name] = {"error": proc.stderr[-500:]}
-                write_log(f"bench regime {name}: FAILED")
+                write_log(f"bench regime {name}: attempt {attempt} failed")
+                time.sleep(90)  # intermittent tunnel faults; let it settle
         with open("BENCH_REGIMES.json", "w") as f:
             json.dump({"k": k, "read_len": read_len, "regimes": regimes}, f, indent=1)
 
