@@ -24,7 +24,7 @@ for name in targets:
         env = dict(os.environ)
         env["SBWT_BENCH_REGIME"] = name
         env.pop("SBWT_BENCH_MODE", None)
-        env["PYTHONPATH"] = REPO
+        env["PYTHONPATH"] = REPO + ":/root/.axon_site"
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
