@@ -295,7 +295,7 @@ class _DedupedDummyStream:
             np.bitwise_or.at(g_mask, gid, emask)
             if self.carry is not None:
                 cval, cln, cmask = self.carry
-                first_val = g_vals[0] if not p.wide else g_vals[0]
+                first_val = g_vals[0]
                 same = (
                     bool(np.all(first_val == cval)) if p.wide else bool(first_val == cval)
                 ) and int(g_lens[0]) == cln
@@ -346,7 +346,12 @@ def build_streaming(
     spill = _DummySpill(dummy_raw, p, flush_records=chunk)
 
     def on_sources(src):
-        spill.add(*p.source_dummies(src))
+        # source_dummies expands each source into k prefix records; cap
+        # the expansion per call to ~chunk records so peak transient RAM
+        # stays O(chunk), not O(chunk * k).
+        step = max(1, chunk // p.k)
+        for i in range(0, len(src), step):
+            spill.add(*p.source_dummies(src[i : i + step]))
 
     cursors = [
         _ProbeCursor(_Reader(distinct_path, p, blocks[c], blocks[c + 1], chunk), on_sources)

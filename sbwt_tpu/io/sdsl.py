@@ -158,11 +158,14 @@ def read_bit_vector(f) -> np.ndarray:
 
 def write_int_vector0(f, values, width: int) -> int:
     """Default-width int_vector<0>: size, width byte, packed values."""
-    values = [int(v) for v in values]
-    bw = BitWriter()
-    for v in values:
-        bw.append(v, width)
-    return write_int_vector_words(f, bw.words(), len(values) * width, width)
+    values = np.asarray(values, dtype=np.uint64)
+    if width and len(values):
+        assert width == 64 or int(values.max()) < (1 << width)
+        widths = np.full(len(values), width, dtype=np.int64)
+        words, _ = _pack_varwidth_stream(values, widths, min_bits=0)
+    else:
+        words = np.zeros(0, dtype=np.uint64)
+    return write_int_vector_words(f, words, len(values) * width, width)
 
 
 def read_int_vector0(f):
@@ -171,8 +174,9 @@ def read_int_vector0(f):
     if width == 0:
         return np.zeros(0, dtype=np.uint64), width
     count = n_bits // width
-    br = BitReader(words)
-    return np.array([br.read(width) for _ in range(count)], dtype=np.uint64), width
+    offs = np.arange(count, dtype=np.int64) * width
+    widths = np.full(count, width, dtype=np.int64)
+    return _read_varwidth_stream(words, offs, widths), width
 
 
 def write_int_vector64(f, words: np.ndarray) -> int:
@@ -538,7 +542,10 @@ def _pack_varwidth_stream(values: np.ndarray, widths: np.ndarray, min_bits: int)
 
 def _read_varwidth_stream(words: np.ndarray, offs: np.ndarray, widths: np.ndarray):
     """Gather variable-width values from a little-endian u64 stream."""
-    padded = np.concatenate([words.astype(np.uint64), np.zeros(1, dtype=np.uint64)])
+    # Two spill words: a width-0 entry may sit exactly at the end of the
+    # stream on a 64-bit boundary (offs == n_words*64), where both the
+    # `w` and `w+1` gathers land past the real words.
+    padded = np.concatenate([words.astype(np.uint64), np.zeros(2, dtype=np.uint64)])
     w = (offs // 64).astype(np.int64)
     sh = (offs % 64).astype(np.uint64)
     lo = padded[w] >> sh
@@ -1118,8 +1125,10 @@ def wt_rank_replica(enc: dict, i: int, c: int) -> int:
             break
         pos = int(tree[4 * v])
         ones_before = int(tree[4 * v + 1])
-        seg = bv[pos : pos + result]
-        r1 = int(seg.sum())
+        # rank within the node via the serialized bv_pos_rank field, the
+        # way wt_pc::rank uses it (full-prefix rank minus ones before the
+        # node) — so a wrong bv_pos_rank written by wt_encode fails here.
+        r1 = int(bv[: pos + result].sum()) - ones_before
         result = r1 if (p & 1) else (result - r1)
         v = int(tree[4 * v + 2 + (p & 1)])
         p >>= 1

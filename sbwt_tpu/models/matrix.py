@@ -191,6 +191,32 @@ def from_host_arrays(
     return index
 
 
+def sgs_pair_table(sgs_words: np.ndarray | None, W: int) -> np.ndarray:
+    """(word, previous word) int32 pairs of suffix_group_starts, the
+    layout the streaming left-walk gathers in one trip.  Shared by the
+    narrow and wide engines — their streaming semantics must not drift."""
+    if sgs_words is None:
+        return np.zeros((1, 2), dtype=np.int32)
+    sw = sgs_words.view(np.int32)
+    tbl = np.empty((W, 2), dtype=np.int32)
+    tbl[:, 0] = sw
+    tbl[0, 1] = 0
+    tbl[1:, 1] = sw[:-1]
+    return tbl
+
+
+def c_array_from_rows(row_words: np.ndarray, dtype) -> np.ndarray:
+    """Cumulative count array: C[0] = 1 (ghost-dollar root edge), then
+    running totals per character (SBWT.hh:344-350)."""
+    counts = [int(bv.popcount_words_host(row_words[c]).sum()) for c in range(4)]
+    C = np.empty(4, dtype=dtype)
+    C[0] = 1
+    C[1] = C[0] + counts[0]
+    C[2] = C[1] + counts[1]
+    C[3] = C[2] + counts[2]
+    return C
+
+
 def from_packed_rows(
     row_words: np.ndarray,
     n: int,
@@ -215,20 +241,8 @@ def from_packed_rows(
         [bv.rank_table_from_words(row_words[c]) for c in range(4)], axis=0
     )
     has_streaming = sgs_words is not None
-    if has_streaming:
-        sw = sgs_words.view(np.int32)
-        sgs_tbl = np.empty((W, 2), dtype=np.int32)
-        sgs_tbl[:, 0] = sw
-        sgs_tbl[0, 1] = 0
-        sgs_tbl[1:, 1] = sw[:-1]
-    else:
-        sgs_tbl = np.zeros((1, 2), dtype=np.int32)
-    counts = [int(bv.popcount_words_host(row_words[c]).sum()) for c in range(4)]
-    C = np.empty(4, dtype=np.int32)
-    C[0] = 1
-    C[1] = C[0] + counts[0]
-    C[2] = C[1] + counts[1]
-    C[3] = C[2] + counts[2]
+    sgs_tbl = sgs_pair_table(sgs_words, W)
+    C = c_array_from_rows(row_words, np.int32)
     index = MatrixIndex(
         rank_tbl=jnp.asarray(rank_tbl),
         sgs_tbl=jnp.asarray(sgs_tbl),

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bitvector as bv
+from . import matrix
 
 _ONE = np.uint32(1)
 
@@ -124,22 +125,8 @@ def from_packed_rows_wide(
         [bv.rank_table_from_words_wide(row_words[c]) for c in range(4)], axis=0
     )
     has_streaming = sgs_words is not None
-    if has_streaming:
-        sgs_tbl = np.empty((W, 2), dtype=np.int32)
-        sgs_tbl[:, 0] = sgs_words.view(np.int32)
-        sgs_tbl[0, 1] = 0
-        sgs_tbl[1:, 1] = sgs_words.view(np.int32)[:-1]
-    else:
-        sgs_tbl = np.zeros((1, 2), dtype=np.int32)
-
-    counts = [
-        int(bv.popcount_words_host(row_words[c]).sum()) for c in range(4)
-    ]
-    C = np.empty(4, dtype=np.int64)
-    C[0] = 1
-    C[1] = C[0] + counts[0]
-    C[2] = C[1] + counts[1]
-    C[3] = C[2] + counts[2]
+    sgs_tbl = matrix.sgs_pair_table(sgs_words, W)
+    C = matrix.c_array_from_rows(row_words, np.int64)
 
     index = WideMatrixIndex(
         rank_tbl=jnp.asarray(rank_tbl),
@@ -173,6 +160,10 @@ def wide_with_precalc(index: WideMatrixIndex, precalc_k: int) -> WideMatrixIndex
         return dataclasses.replace(
             index, precalc=jnp.zeros((1, 2), dtype=jnp.int64), precalc_k=0
         )
+    if p > 13:
+        raise ValueError("precalc_k > 13 not supported (table would exceed 1 GiB)")
+    if p > index.k:
+        raise ValueError(f"precalc_k {p} > k {index.k}")
     n_entries = 4**p
     ids = jnp.arange(n_entries, dtype=jnp.int32)
     codes = jnp.stack([(ids >> (2 * i)) & 3 for i in range(p)], axis=1)

@@ -165,7 +165,19 @@ def streaming_chain(index, codes):
     return ans, unresolved
 
 
-def streaming_search(index, codes, lengths=None, chunk=4096, sync_axes=None):
+def _patch_chunk(total: int) -> int:
+    """Shape-adaptive patch chunk: largest power of two <= total/16,
+    clamped to [4096, 2^20].  A fixed small chunk is pathological on
+    miss-heavy inputs — at 150M flat positions nearly all unresolved,
+    4096-lane chunks mean ~36k sequential fori_loop iterations in ONE
+    device program (minutes of runtime; the axon tunnel kills the
+    worker).  Scaling the chunk with the batch keeps the trip count
+    bounded and the gather units at high occupancy (docs/DESIGN.md §1)."""
+    v = max(4096, min(total // 16, 1 << 20))
+    return 1 << (int(v).bit_length() - 1)
+
+
+def streaming_search(index, codes, lengths=None, chunk=None, sync_axes=None):
     """Exact streaming search: chain + dynamically-sized full-search patch.
 
     codes: int [B, L] (pad with -1); lengths: optional int [B] actual read
@@ -181,6 +193,8 @@ def streaming_search(index, codes, lengths=None, chunk=4096, sync_axes=None):
     B, L = codes.shape
     k = index.k
     P = L - k + 1
+    if chunk is None:
+        chunk = _patch_chunk(B * P)
     ans, unresolved = streaming_chain(index, codes)
 
     if lengths is not None:

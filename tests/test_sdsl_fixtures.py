@@ -97,3 +97,31 @@ def test_wt_blcd_digest():
     assert hashlib.sha256(data).hexdigest() == (
         "b40d4069f180f2ed9b378ae12f5e0fc3057db849c872c4882b5912bf44fe13e2"
     )
+
+
+def test_rrr_word_aligned_offset_stream():
+    # Regression: a trailing uniform (width-0) block whose offset lands
+    # exactly on a 64-bit stream boundary used to index past the reader's
+    # spill pad.  Two blocks of popcount 55 give space 32+32 = 64 bits,
+    # and 126 = 2*63 adds the dummy trailing block at offset 64.
+    bools = np.zeros(126, dtype=bool)
+    bools[:55] = True
+    bools[63 : 63 + 55] = True
+    buf = io.BytesIO()
+    sdsl.write_rrr(buf, bools)
+    buf.seek(0)
+    assert np.array_equal(sdsl.read_rrr(buf), bools)
+
+
+def test_int_vector0_roundtrip_widths():
+    # write/read_int_vector0 are vectorized (no per-value bigint walk);
+    # cover narrow, unaligned, 63- and 64-bit widths.
+    rng = np.random.default_rng(5)
+    for width in (1, 6, 17, 63, 64):
+        vals = rng.integers(0, 2 ** min(width, 63), size=257, dtype=np.uint64)
+        buf = io.BytesIO()
+        sdsl.write_int_vector0(buf, vals, width)
+        buf.seek(0)
+        got, w = sdsl.read_int_vector0(buf)
+        assert w == width
+        assert np.array_equal(got, vals)
