@@ -146,7 +146,7 @@ static void *pipeline_worker(void *arg) {
                 FILE *f = fopen(b.path, "wb");
                 if (f) {
                     wrote = (int64_t)fwrite(sorted, sizeof(uint64_t), b.n, f);
-                    fclose(f);
+                    if (fclose(f)) wrote = -1;
                 }
                 free(sorted == b.data ? tmp : b.data);
                 if (sorted != b.data) b.data = tmp; /* freed below */
@@ -157,7 +157,7 @@ static void *pipeline_worker(void *arg) {
             FILE *f = fopen(b.path, "wb");
             if (f) {
                 wrote = (int64_t)fwrite(b.data, q->W * sizeof(uint64_t), b.n, f);
-                fclose(f);
+                if (fclose(f)) wrote = -1;
             }
         }
         free(b.data);
@@ -412,19 +412,23 @@ static int merge_runs_w(char **paths, int n_runs, const char *out_path, int W) {
     if (!out) return -1;
     uint64_t *obuf = malloc((size_t)RUNBUF * W * sizeof(uint64_t));
     int64_t on = 0;
+    int werr = 0;
     while (hn > 0) {
         memcpy(obuf + on * W, heap[0].key, W * sizeof(uint64_t));
-        if (++on == RUNBUF) { fwrite(obuf, W * sizeof(uint64_t), on, out); on = 0; }
+        if (++on == RUNBUF) {
+            if ((int64_t)fwrite(obuf, W * sizeof(uint64_t), on, out) != on) werr = 1;
+            on = 0;
+        }
         RunW *r = &runs[heap[0].run];
         if (runw_advance(r)) heap[0].key = runw_head(r);
         else heap[0] = heap[--hn];
         heapw_down(heap, hn, 0, W);
     }
-    fwrite(obuf, W * sizeof(uint64_t), on, out);
-    fclose(out);
+    if ((int64_t)fwrite(obuf, W * sizeof(uint64_t), on, out) != on) werr = 1;
+    if (fclose(out)) werr = 1;
     for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].buf); }
     free(runs); free(heap); free(obuf);
-    return 0;
+    return werr ? -1 : 0;
 }
 
 /* Sort a raw file of W-word records (W in 1..32). Same structure as
@@ -482,9 +486,13 @@ int em_sort_u64w(const char *in_path, const char *out_path,
         FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
         if (!a || !b) return -1;
         char buf[1 << 16]; size_t n;
-        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
-        fclose(a); fclose(b);
+        int werr = 0;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0)
+            if (fwrite(buf, 1, n, b) != n) { werr = 1; break; }
+        fclose(a);
+        if (fclose(b)) werr = 1;
         remove(cur[0]);
+        if (werr) return -1;
     }
     free(cur[0]); free(cur);
     return 0;
@@ -503,7 +511,7 @@ int64_t em_dedup_count_u64w(const char *in_path, const char *out_path,
     uint64_t *obuf = malloc((size_t)RUNBUF * rec);
     uint64_t cur[32];
     int64_t on = 0, kept = 0, count = 0;
-    int have = 0;
+    int have = 0, werr = 0;
     for (;;) {
         int64_t n = fread(ibuf, rec, RUNBUF, in);
         if (n <= 0) break;
@@ -513,7 +521,10 @@ int64_t em_dedup_count_u64w(const char *in_path, const char *out_path,
             if (have && count >= min_abund && count <= max_abund) {
                 memcpy(obuf + on * W, cur, rec);
                 kept++;
-                if (++on == RUNBUF) { fwrite(obuf, rec, on, out); on = 0; }
+                if (++on == RUNBUF) {
+                    if ((int64_t)fwrite(obuf, rec, on, out) != on) werr = 1;
+                    on = 0;
+                }
             }
             memcpy(cur, v, rec);
             count = 1;
@@ -525,10 +536,11 @@ int64_t em_dedup_count_u64w(const char *in_path, const char *out_path,
         on++;
         kept++;
     }
-    fwrite(obuf, rec, on, out);
+    if ((int64_t)fwrite(obuf, rec, on, out) != on) werr = 1;
     free(ibuf); free(obuf);
-    fclose(in); fclose(out);
-    return kept;
+    fclose(in);
+    if (fclose(out)) werr = 1;
+    return werr ? -1 : kept;
 }
 
 /* ------------------------------------------------------------------ */
@@ -592,10 +604,11 @@ static void *worker_v(void *arg) {
             memcpy(&len, rec, 8);
             ok = fwrite(rec, 1, 8 + len, f) == 8 + len;
         }
-        if (f) fclose(f);
+        if (f && fclose(f)) ok = 0;
         free(j->data);
         free(j->offs);
         j->data = NULL;
+        j->offs = NULL; /* error paths re-free the job array */
         if (!ok) {
             pthread_mutex_lock(&p->mu);
             p->err = 1;
@@ -662,7 +675,7 @@ static int merge_runs_v(char **paths, int n_runs, const char *out_path) {
         else heap[0] = heap[--hn];
         heapv_down(heap, hn, 0);
     }
-    fclose(out);
+    if (fclose(out)) return -1;
     for (int i = 0; i < n_runs; i++) { fclose(runs[i].f); free(runs[i].rec); }
     free(runs); free(heap);
     return 0;
@@ -802,9 +815,13 @@ int em_sort_varlen(const char *in_path, const char *out_path,
         FILE *a = fopen(cur[0], "rb"), *b = fopen(out_path, "wb");
         if (!a || !b) return -1;
         char buf[1 << 16]; size_t n;
-        while ((n = fread(buf, 1, sizeof(buf), a)) > 0) fwrite(buf, 1, n, b);
-        fclose(a); fclose(b);
+        int werr = 0;
+        while ((n = fread(buf, 1, sizeof(buf), a)) > 0)
+            if (fwrite(buf, 1, n, b) != n) { werr = 1; break; }
+        fclose(a);
+        if (fclose(b)) werr = 1;
         remove(cur[0]);
+        if (werr) return -1;
     }
     free(cur[0]); free(cur);
     return 0;
@@ -825,7 +842,7 @@ int64_t em_dedup_count_u64(const char *in_path, const char *out_path,
     int64_t on = 0, kept = 0;
     uint64_t cur = 0;
     int64_t count = 0;
-    int have = 0;
+    int have = 0, werr = 0;
     for (;;) {
         int64_t n = fread(ibuf, sizeof(uint64_t), RUNBUF, in);
         if (n <= 0) break;
@@ -834,7 +851,10 @@ int64_t em_dedup_count_u64(const char *in_path, const char *out_path,
             if (have && count >= min_abund && count <= max_abund) {
                 obuf[on++] = cur;
                 kept++;
-                if (on == RUNBUF) { fwrite(obuf, 8, on, out); on = 0; }
+                if (on == RUNBUF) {
+                    if ((int64_t)fwrite(obuf, 8, on, out) != on) werr = 1;
+                    on = 0;
+                }
             }
             cur = ibuf[i];
             count = 1;
@@ -845,8 +865,9 @@ int64_t em_dedup_count_u64(const char *in_path, const char *out_path,
         obuf[on++] = cur;
         kept++;
     }
-    fwrite(obuf, 8, on, out);
+    if ((int64_t)fwrite(obuf, 8, on, out) != on) werr = 1;
     free(ibuf); free(obuf);
-    fclose(in); fclose(out);
-    return kept;
+    fclose(in);
+    if (fclose(out)) werr = 1;
+    return werr ? -1 : kept;
 }

@@ -149,8 +149,30 @@ def _pad_rows(arr: np.ndarray | jax.Array, multiple: int):
     return jnp.pad(arr, pad)
 
 
+def is_row_sharded(index: MatrixIndex, mesh: Mesh) -> bool:
+    """True if the index's rank/sgs tables are already row-sharded over
+    this mesh's `model` axis (so the TP entry points can skip the
+    re-placement device_put — a real cost on big meshes)."""
+    want = NamedSharding(mesh, P("model", None))
+    n_model = mesh.shape["model"]
+    try:
+        return (
+            isinstance(index.rank_tbl, jax.Array)
+            and index.rank_tbl.sharding.is_equivalent_to(want, index.rank_tbl.ndim)
+            and index.sgs_tbl.sharding.is_equivalent_to(want, index.sgs_tbl.ndim)
+            and index.rank_tbl.shape[0] % n_model == 0
+            and index.sgs_tbl.shape[0] % n_model == 0
+        )
+    except (AttributeError, TypeError):
+        return False
+
+
 def shard_index_rows(index: MatrixIndex, mesh: Mesh) -> MatrixIndex:
-    """Place the index with rank/sgs tables row-sharded over `model`."""
+    """Place the index with rank/sgs tables row-sharded over `model`.
+
+    Idempotent and cheap if the index is already placed that way."""
+    if is_row_sharded(index, mesh):
+        return index
     n_model = mesh.shape["model"]
     rank_tbl = _pad_rows(index.rank_tbl, n_model)
     sgs_tbl = _pad_rows(index.sgs_tbl, n_model)

@@ -192,3 +192,129 @@ def test_create_reverse_complement_files(tmp_path):
     seqio.create_reverse_complement_files([str(fna), str(fq)], outs)
     assert seqio.read_sequences(outs[0]) == [b"TGCAACGT", b"TACCC"]
     assert seqio.read_sequences(outs[1]) == [b"ACGGTT"]
+
+
+
+_FWRITE_SHIM = r"""
+/* LD_PRELOAD shim: fwrite starts short-writing after FAIL_AFTER_BYTES
+ * total bytes, simulating a disk filling up mid-stream. */
+#define _GNU_SOURCE
+#include <stdio.h>
+#include <stdlib.h>
+#include <dlfcn.h>
+
+static size_t (*real_fwrite)(const void *, size_t, size_t, FILE *);
+static long long budget = -1;
+static long long written = 0;
+
+size_t fwrite(const void *ptr, size_t size, size_t nmemb, FILE *f) {
+    if (!real_fwrite) {
+        real_fwrite = dlsym(RTLD_NEXT, "fwrite");
+        const char *e = getenv("FAIL_AFTER_BYTES");
+        budget = e ? atoll(e) : -1;
+    }
+    if (budget >= 0) {
+        long long want = (long long)size * nmemb;
+        if (written + want > budget) {
+            size_t allowed = budget > written ? (size_t)(budget - written) : 0;
+            size_t n = size ? allowed / size : 0;
+            written += (long long)n * size;
+            if (n) real_fwrite(ptr, size, n, f);
+            return n; /* short write */
+        }
+        written += want;
+    }
+    return real_fwrite(ptr, size, nmemb, f);
+}
+"""
+
+_SHORT_WRITE_DRIVER = r"""
+import sys
+from sbwt_tpu import native
+
+entry, tmp = sys.argv[1], sys.argv[2]
+try:
+    if entry == "sort_u64":
+        native.em_sort_u64_file(f"{tmp}/in.bin", f"{tmp}/out.bin", tmp,
+                                ram_bytes=1 << 21, n_threads=2)
+    elif entry == "sort_w":
+        native.em_sort_records_file(f"{tmp}/in.bin", f"{tmp}/out.bin", tmp,
+                                    n_words=2, ram_bytes=1 << 21, n_threads=2)
+    elif entry == "dedup_u64":
+        native.em_dedup_count_u64_file(f"{tmp}/s.bin", f"{tmp}/out.bin")
+    elif entry == "dedup_w":
+        native.em_dedup_count_records_file(f"{tmp}/sw.bin", f"{tmp}/out.bin", n_words=2)
+    elif entry == "sort_varlen":
+        native.em_sort_varlen_file(f"{tmp}/v.bin", f"{tmp}/out.bin", tmp,
+                                   ram_bytes=1 << 21, n_threads=2)
+    else:
+        raise SystemExit(f"unknown entry {entry}")
+except RuntimeError:
+    print("RAISED")
+    raise SystemExit(0)
+print("NO ERROR")
+raise SystemExit(1)
+"""
+
+# (entry, fwrite byte budgets): small budget fails during the spill phase,
+# larger budget lets spills succeed and fails inside the merge/output writes
+_SHORT_WRITE_CASES = [
+    ("sort_u64", (300_000, 2_500_000)),
+    ("sort_w", (300_000, 2_500_000)),
+    ("dedup_u64", (300_000,)),
+    ("dedup_w", (300_000,)),
+    ("sort_varlen", (300_000, 2_500_000)),
+]
+
+
+@pytest.mark.parametrize("entry,budgets", _SHORT_WRITE_CASES)
+def test_short_write_never_silent(tmp_path, entry, budgets):
+    """A disk filling up MID-WRITE (not just an unopenable path) must make
+    every sort/dedup entry point raise — a truncated 'sorted' stream with
+    rc 0 would construct a *wrong* index downstream.  An LD_PRELOAD shim
+    makes fwrite short-write after a byte budget, exercising the fwrite/
+    fclose error propagation inside emsort.c (spill workers, k-way merge,
+    dedup writers), in a subprocess so the shim can't touch pytest."""
+    import subprocess
+    import sys
+
+    native.get_lib()  # ensure the .so is built before the shim is active
+    shim_src = tmp_path / "fwrite_shim.c"
+    shim_so = tmp_path / "fwrite_shim.so"
+    shim_src.write_text(_FWRITE_SHIM)
+    r = subprocess.run(
+        ["cc", "-O2", "-shared", "-fPIC", str(shim_src), "-o", str(shim_so), "-ldl"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"cannot build shim: {r.stderr.decode()[:200]}")
+    driver = tmp_path / "driver.py"
+    driver.write_text(_SHORT_WRITE_DRIVER)
+    # inputs are written by THIS process (no shim): ~1.6 MB each
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 2**63, size=200000, dtype=np.uint64)
+    work = tmp_path / "work"
+    work.mkdir()
+    arr.tofile(work / "in.bin")
+    s = np.sort(arr)
+    s.tofile(work / "s.bin")
+    np.column_stack([s, s]).astype(np.uint64).tofile(work / "sw.bin")
+    with open(work / "v.bin", "wb") as f:
+        for i in range(50000):
+            payload = bytes([i % 251]) * (i % 37 + 1)
+            f.write(len(payload).to_bytes(8, "little") + payload)
+    for budget in budgets:
+        env = dict(os.environ)
+        env["LD_PRELOAD"] = str(shim_so)
+        env["FAIL_AFTER_BYTES"] = str(budget)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, str(driver), entry, str(work)],
+            capture_output=True, env=env, timeout=120,
+        )
+        out = r.stdout.decode()
+        assert r.returncode == 0 and "RAISED" in out, (
+            f"{entry} (budget {budget}): expected RuntimeError under short "
+            f"writes; rc={r.returncode} stdout={out!r} "
+            f"stderr={r.stderr.decode()[-400:]!r}"
+        )

@@ -100,3 +100,16 @@ def test_dp_turbo_matches_single_device(sbwt, batch):
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_shard_index_rows_idempotent(sbwt):
+    """The TP entry points must accept a pre-sharded index without
+    re-placing it (a second device_put costs real time on big meshes)."""
+    from sbwt_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh(n_data=4, n_model=2)
+    index = sbwt.device_index
+    s1 = sharded.shard_index_rows(index, mesh)
+    assert sharded.is_row_sharded(s1, mesh)
+    s2 = sharded.shard_index_rows(s1, mesh)
+    assert s2 is s1
