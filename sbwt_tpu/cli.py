@@ -71,30 +71,36 @@ def build_main(argv) -> int:
         sys.stderr.write("Error: not all input files have the same format\n")
         return 1
 
-    write_log("Reading input sequences")
-    seqs = []
+    # The input side streams: sequences flow file -> bounded batches ->
+    # encoded chunks -> k-mer spill, with reverse complements generated
+    # per-chunk inside the builder — the corpus is never materialized in
+    # RAM (the reference's KMC path likewise streams from disk,
+    # kmc_construct.hh:206-238, and pre-writes RC *files*,
+    # sbwt_build.cpp:115-122).  The auto method heuristic works from file
+    # sizes, not a read list.
+    input_bases = 0
     for f in input_files:
-        seqs.extend(seqio.read_sequences(f))
-    if args.add_reverse_complements:
-        from .utils.dna import reverse_complement_bytes
+        import os as _os
 
-        write_log("Adding reverse complements of all input sequences")
-        seqs = seqs + [reverse_complement_bytes(s) for s in seqs]
+        sz = _os.path.getsize(f)
+        # decompressed-size estimate for the heuristic only (gzip of DNA
+        # text compresses ~4x)
+        input_bases += sz * 4 if f.endswith(".gz") else sz
 
     write_log("Building SBWT subset sequence")
-    from .utils.dna import encode
-
     sbwt = SBWT.build(
-        [encode(s) for s in seqs],
+        seqio.stream_build_codes(input_files),
         k,
         streaming_support=not args.no_streaming_support,
         precalc_k=precalc,
         min_abundance=args.min_abundance,
         max_abundance=args.max_abundance if args.max_abundance < 10**9 else None,
+        add_reverse_complements=args.add_reverse_complements,
         variant=args.variant,
         ram_bytes=args.ram_gigas << 30,
         n_threads=args.n_threads,
         temp_dir=args.temp_dir,
+        input_bases=input_bases,
     )
     write_log(f"Built SBWT for {sbwt.number_of_kmers()} distinct k-mers")
     write_log(f"SBWT has {sbwt.number_of_subsets()} subsets")

@@ -34,6 +34,7 @@ enforces this under a hard RLIMIT_AS in a subprocess.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -44,6 +45,89 @@ from .inmemory import BuiltSBWT
 
 _U64 = np.uint64
 _NO_EDGE = 0xFF  # edge byte for the root dummy (no outgoing label)
+
+
+class _PackedAccum:
+    """Incremental byte-packer for a stream of bool chunks.
+
+    The reference appends construction output into 1-bit sdsl vectors
+    (kmc_construct.hh:43-99, ~5 bits/column total); accumulating numpy
+    bool chunks and concatenating at the end would instead cost
+    1 byte/column/row plus a 2x transient — 40-80x the reference's memory
+    for the dominant O(n) term.  This packer keeps everything at
+    1 bit/entry across chunk boundaries: peak RAM = packed bytes so far
+    + one chunk."""
+
+    def __init__(self):
+        self.parts: list[np.ndarray] = []
+        self.rem = np.zeros(0, dtype=bool)
+        self.n_bits = 0
+
+    def add(self, bits: np.ndarray):
+        self.n_bits += len(bits)
+        b = np.concatenate([self.rem, bits]) if len(self.rem) else bits
+        nfull = (len(b) // 8) * 8
+        if nfull:
+            self.parts.append(np.packbits(b[:nfull], bitorder="little"))
+        self.rem = b[nfull:].copy()
+
+    @property
+    def n_bytes(self) -> int:
+        return (self.n_bits + 7) // 8
+
+    def finish_into(self, out: np.ndarray) -> None:
+        """Drain the packed parts into a preallocated byte buffer —
+        no concatenate transient (at 100M+ columns the 2x copy is real)."""
+        if len(self.rem):
+            self.parts.append(np.packbits(self.rem, bitorder="little"))
+            self.rem = np.zeros(0, dtype=bool)
+        o = 0
+        for part in self.parts:
+            out[o : o + len(part)] = part
+            o += len(part)
+        self.parts = []
+
+    def finish(self) -> np.ndarray:
+        out = np.empty(self.n_bytes, dtype=np.uint8)
+        self.finish_into(out)
+        return out
+
+
+@dataclass
+class PackedBuilt:
+    """Streaming-build result with byte-packed rows (1 bit/entry).
+
+    Feeds SBWT.from_packed directly; the bool views unpack on demand for
+    the differential tests and the legacy BuiltSBWT consumers."""
+
+    bits_packed: np.ndarray  # [4, ceil(n/8)] uint8, little bit order
+    sgs_packed: np.ndarray | None  # [ceil(n/8)] uint8 or None
+    n_cols: int
+    k: int
+    n_kmers: int
+
+    @property
+    def bits(self) -> np.ndarray:
+        return np.unpackbits(
+            self.bits_packed, axis=1, bitorder="little", count=self.n_cols
+        ).astype(bool)
+
+    @property
+    def suffix_group_starts(self) -> np.ndarray:
+        if self.sgs_packed is None:
+            return np.empty(0, dtype=bool)
+        return np.unpackbits(
+            self.sgs_packed, bitorder="little", count=self.n_cols
+        ).astype(bool)
+
+    # legacy BuiltSBWT surface (labels are not materialized when streaming)
+    @property
+    def node_vals(self) -> np.ndarray:
+        return np.empty(0, dtype=_U64)
+
+    @property
+    def node_lens(self) -> np.ndarray:
+        return np.zeros(0, dtype=np.uint8)
 
 
 class _Prims:
@@ -323,17 +407,26 @@ def build_streaming(
     n_threads: int,
     tfm,
     chunk_records: int | None = None,
-) -> BuiltSBWT:
+) -> PackedBuilt:
     """Build the plain-matrix SBWT from an on-disk sorted distinct k-mer
     file in bounded memory.  `tfm` is the temp-file manager for spills.
     `chunk_records` overrides the RAM-derived chunk size (tests use tiny
-    chunks to exercise every cross-chunk carry path)."""
+    chunks to exercise every cross-chunk carry path).
+
+    Output rows are emitted byte-PACKED chunk by chunk (PackedBuilt →
+    SBWT.from_packed), so peak host RAM for the O(n) term is ~5 bits per
+    column like the reference's sdsl append loop (kmc_construct.hh:43-99),
+    not bool bytes."""
     p = _Prims(k)
     W = p.W
     if n_records == 0:
-        bits = np.zeros((4, 1), dtype=bool)
-        sgs = np.ones(1, dtype=bool) if streaming_support else np.empty(0, dtype=bool)
-        return BuiltSBWT(bits, sgs, k, 0, p.empty(), np.zeros(0, dtype=np.uint8))
+        return PackedBuilt(
+            bits_packed=np.zeros((4, 1), dtype=np.uint8),
+            sgs_packed=np.ones(1, dtype=np.uint8) if streaming_support else None,
+            n_cols=1,
+            k=k,
+            n_kmers=0,
+        )
 
     # chunk sizing: main + 4 block cursors + dummy spill + merge buffers
     chunk = chunk_records or int(max(4096, min(1 << 21, ram_bytes // (24 * W * 8))))
@@ -403,8 +496,8 @@ def build_streaming(
     kmer_r = _Reader(distinct_path, p, 0, n_records, chunk)
     edges_f = open(edges_path, "rb")
 
-    bit_chunks = []
-    sgs_chunks = []
+    row_acc = [_PackedAccum() for _ in range(4)]
+    sgs_acc = _PackedAccum() if streaming_support else None
     prev_key = None  # (val_row_or_scalar, len) of the previous node's suffix group
 
     dv = dl = dm = None
@@ -431,10 +524,8 @@ def build_streaming(
 
     def emit(vals, lens, masks):
         nonlocal prev_key
-        bits = np.zeros((4, len(lens)), dtype=bool)
         for c in range(4):
-            bits[c] = (masks & (1 << c)) != 0
-        bit_chunks.append(bits)
+            row_acc[c].add((masks & (1 << c)) != 0)
         if streaming_support:
             is_full = lens == k
             sh_vals = vals.copy()
@@ -449,7 +540,7 @@ def build_streaming(
                 diff = p.neq(sh_vals[0:1], pv[None, :] if p.wide else pv)
                 sgs[0] = bool(diff[0]) or int(sh_lens[0]) != pl
             sgs[1:] = p.neq(sh_vals[1:], sh_vals[:-1]) | (sh_lens[1:] != sh_lens[:-1])
-            sgs_chunks.append(sgs)
+            sgs_acc.add(sgs)
             prev_key = (sh_vals[-1], int(sh_lens[-1]))
 
     refill_d()
@@ -524,15 +615,14 @@ def build_streaming(
     tfm.delete_file(dummy_sorted)
     tfm.delete_file(edges_path)
 
-    bits = np.concatenate(bit_chunks, axis=1)
-    sgs = (
-        np.concatenate(sgs_chunks) if streaming_support else np.empty(0, dtype=bool)
-    )
-    return BuiltSBWT(
-        bits=bits,
-        suffix_group_starts=sgs,
+    n_cols = row_acc[0].n_bits
+    bits_packed = np.empty((4, row_acc[0].n_bytes), dtype=np.uint8)
+    for c in range(4):
+        row_acc[c].finish_into(bits_packed[c])
+    return PackedBuilt(
+        bits_packed=bits_packed,
+        sgs_packed=sgs_acc.finish() if streaming_support else None,
+        n_cols=n_cols,
         k=k,
         n_kmers=n_records,
-        node_vals=p.empty(),  # labels not materialized on the streaming path
-        node_lens=np.zeros(0, dtype=np.uint8),
     )

@@ -102,6 +102,35 @@ def create_reverse_complement_files(in_paths: list[str], out_paths: list[str]):
                 w.write_sequence(reverse_complement_bytes(seq))
 
 
+def stream_build_codes(paths: list[str]):
+    """Stream input files as encoded int8 code arrays, one sequence at a
+    time, in bounded memory — the CLI build's input side (the reference
+    likewise streams files through KMC from disk, kmc_construct.hh:206-238,
+    never holding the corpus).  Uses the native C reader when available,
+    the pure-Python batcher otherwise."""
+    from ..utils.dna import encode
+
+    for path in paths:
+        try:
+            from .. import native
+
+            reader = native.NativeSequenceReader(path) if native.available() else None
+        except Exception:
+            reader = None
+        if reader is not None:
+            with reader:
+                for codes, offs in reader:
+                    # query codes -> build codes: lowercase (4..7) is not
+                    # a valid k-mer character (SBWT.hh:426-427)
+                    codes = np.where(codes > 3, np.int8(-1), codes)
+                    for i in range(len(offs) - 1):
+                        yield codes[offs[i] : offs[i + 1]]
+        else:
+            for batch in iter_sequence_batches(path):
+                for s in batch:
+                    yield encode(s)
+
+
 def read_batches(
     paths: list[str], max_batch_reads: int = 1 << 16
 ):

@@ -220,21 +220,37 @@ class SBWT:
         ram_bytes: int = 2 << 30,
         n_threads: int = 4,
         temp_dir: str | None = None,
+        input_bases: int | None = None,
     ):
         """Construct from sequences.  method: 'memory' (vectorized in-RAM),
         'external' (native EM-sort pipeline, construct/external.py), or
         'auto' (external when the k-mer record spill would exceed half the
-        RAM budget — the reference always goes through KMC+disk)."""
+        RAM budget — the reference always goes through KMC+disk).
+
+        `seqs` may be a LIST of sequences/code arrays or a bounded-memory
+        GENERATOR (the CLI streams FASTA files through one, like the
+        reference's kmc_construct.hh:206-238 which never holds the corpus).
+        Generators require `input_bases` (estimated total bases, e.g. from
+        file sizes) for the auto heuristic, and route to the external
+        builder, which consumes them one chunk at a time."""
+        streamed = not hasattr(seqs, "__len__")
         if method == "auto":
             from ..utils import kmers_wide as _kw
 
             rec_bytes = 8 * _kw.n_words(k)  # wide k-mers spill W-word records
-            est = (
-                sum(len(s) for s in seqs)
-                * rec_bytes
-                * (2 if add_reverse_complements else 1)
+            bases = (
+                input_bases
+                if input_bases is not None
+                else sum(len(s) for s in seqs)
             )
+            if streamed and input_bases is None:
+                raise ValueError(
+                    "auto method needs input_bases when seqs is a generator"
+                )
+            est = bases * rec_bytes * (2 if add_reverse_complements else 1)
             method = "external" if est > ram_bytes // 2 else "memory"
+        if streamed and method == "memory":
+            seqs = list(seqs)  # the in-RAM builder needs the whole corpus
         if method == "external":
             from ..construct.external import build_sbwt_external
 
@@ -258,6 +274,17 @@ class SBWT:
                 max_abundance=max_abundance,
                 add_reverse_complements=add_reverse_complements,
             )
+        if hasattr(built, "bits_packed"):
+            # streaming build emits packed rows; never unpack to bool
+            self = cls.from_packed(
+                built.bits_packed,
+                built.n_cols,
+                built.sgs_packed,
+                k=built.k,
+                n_kmers=built.n_kmers,
+                precalc_k=precalc_k,
+            )
+            return self.to_variant(variant) if variant != "plain-matrix" else self
         return cls.from_built(built, precalc_k, variant)
 
     # ---- metadata (SBWT.hh accessors) --------------------------------

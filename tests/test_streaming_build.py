@@ -126,9 +126,8 @@ _RLIMIT_SCRIPT = textwrap.dedent(
     built = build_sbwt_external(
         seqs, 20, ram_bytes=4 << 20, n_threads=2, temp_dir=sys.argv[2]
     )
-    packed = np.packbits(built.bits, axis=1)
-    np.savez(sys.argv[3], packed=packed, n=built.bits.shape[1],
-             sgs=np.packbits(built.suffix_group_starts), n_kmers=built.n_kmers)
+    np.savez(sys.argv[3], packed=built.bits_packed, n=built.n_cols,
+             sgs=built.sgs_packed, n_kmers=built.n_kmers)
     """
 )
 
@@ -144,10 +143,10 @@ def test_streaming_build_under_rlimit(tmp_path):
         f.write(_RLIMIT_SCRIPT)
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo"
-    # 512 MB total address space: the streaming path fits with ~60 MB to
-    # spare (measured), while the in-memory pipeline on the same input
-    # ArrayMemoryErrors even at 900 MB — the cap genuinely discriminates.
-    limit = 512 * (1 << 20)
+    # 400 MB total address space (tightened from round 2's 512 MB now that
+    # the build emits packed rows end-to-end): the in-memory pipeline on
+    # the same input ArrayMemoryErrors even at 900 MB.
+    limit = 400 * (1 << 20)
     proc = subprocess.run(
         [sys.executable, script, str(limit), str(tmp_path), out],
         capture_output=True,
@@ -164,7 +163,79 @@ def test_streaming_build_under_rlimit(tmp_path):
     oracle = build_mem(seqs, 20)
     n = int(data["n"])
     assert n == oracle.bits.shape[1]
-    np.testing.assert_array_equal(np.packbits(oracle.bits, axis=1), data["packed"])
     np.testing.assert_array_equal(
-        np.packbits(oracle.suffix_group_starts), data["sgs"]
+        np.packbits(oracle.bits, axis=1, bitorder="little"), data["packed"]
     )
+    np.testing.assert_array_equal(
+        np.packbits(oracle.suffix_group_starts, bitorder="little"), data["sgs"]
+    )
+
+
+_INPUT_RLIMIT_SCRIPT = textwrap.dedent(
+    """
+    import resource, sys
+    import numpy as np
+    limit = int(sys.argv[1])
+    resource.setrlimit(resource.RLIMIT_AS, (limit, limit))
+    from sbwt_tpu.construct.external import build_sbwt_external
+    from sbwt_tpu.io.seqio import stream_build_codes
+    built = build_sbwt_external(
+        stream_build_codes([sys.argv[4]]),
+        20, ram_bytes=32 << 20, n_threads=2, temp_dir=sys.argv[2],
+    )
+    np.savez(sys.argv[3], packed=built.bits_packed, n=built.n_cols,
+             sgs=built.sgs_packed, n_kmers=built.n_kmers)
+    """
+)
+
+
+@pytest.mark.slow
+def test_input_side_streaming_under_rlimit(tmp_path):
+    """The CLI build's INPUT side must stream: a FASTA bigger than the
+    address-space headroom builds fine through stream_build_codes ->
+    external spill (the reference never holds the corpus either,
+    kmc_construct.hh:206-238).  Materializing the corpus (bytes + int8
+    codes ~= 2x file size) would blow the cap; the streaming path holds
+    one bounded batch at a time."""
+    rng = np.random.default_rng(5)
+    fasta = str(tmp_path / "big.fna")
+    n_seqs, seq_len = 200, 1 << 20  # ~200 MB of bases -> >200M columns
+    with open(fasta, "wb") as f:
+        for i in range(n_seqs):
+            f.write(b">s%d\n" % i)
+            f.write(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                               size=seq_len).tobytes())
+            f.write(b"\n")
+    out = str(tmp_path / "result.npz")
+    script = str(tmp_path / "rl_input.py")
+    with open(script, "w") as f:
+        f.write(_INPUT_RLIMIT_SCRIPT)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    # python+numpy baseline ~165 MB; packed output rows at ~150M columns
+    # are ~100 MB; 360 MB total leaves well under 1x the file size of
+    # headroom, so corpus materialization (bytes + codes = 2x file size,
+    # ~300 MB) cannot fit.  (The cap is address space, not RSS: glibc
+    # thread arenas in the native sorter reserve VA beyond the touched
+    # pages, hence the headroom over the ~270 MB measured RSS.)
+    limit = 460 * (1 << 20)
+    # -S skips sitecustomize (the environment's axon hook force-imports
+    # jax into every interpreter); site-packages goes in via PYTHONPATH
+    import sysconfig
+
+    env["PYTHONPATH"] = "/root/repo:" + sysconfig.get_paths()["purelib"]
+    # glibc per-thread arenas in the native sorter reserve VA that never
+    # returns; one arena keeps RLIMIT_AS meaningful for the python side
+    env["MALLOC_ARENA_MAX"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-S", script, str(limit), str(tmp_path), out, fasta],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    data = np.load(out)
+    # sanity, not a full oracle (the bit-exactness of the streaming build
+    # is covered by the differential tests above): random 150 Mbp at k=20
+    # has ~150M distinct k-mers and every column one of ~4 subsets
+    assert int(data["n_kmers"]) > 150_000_000
+    assert int(data["n"]) > 200_000_000  # packed build at >=200M columns
+    assert int(data["n"]) > int(data["n_kmers"])
