@@ -85,13 +85,16 @@ def main():
     )
     regime = os.environ.get("SBWT_BENCH_REGIME")
     turbo = None
-    if regime is None or regime.startswith("turbo3"):
+    if regime is None or regime.startswith("turbo"):
         t0 = time.perf_counter()
         # arity-3 successor table: 1 KiB/column (4 GB at this index size),
-        # 0.33 dependent gathers per chain answer
-        turbo = build_turbo(sbwt.device_index, arity=3)
+        # 0.33 dependent gathers per chain answer.  arity 1 ("uni" row
+        # tier): 16 B/column, 1 row-gather per answer — the tier that
+        # holds >=100M q/s when the big tables cannot fit.
+        arity = 1 if (regime or "").startswith("turbo1") else 3
+        turbo = build_turbo(sbwt.device_index, arity=arity)
         jax.block_until_ready(turbo.tbl)
-        write_log(f"bench: turbo table built in {time.perf_counter() - t0:.1f}s")
+        write_log(f"bench: turbo table (arity {arity}) built in {time.perf_counter() - t0:.1f}s")
 
     lengths = np.full(n_reads, read_len, dtype=np.int32)
     lengths_d = jnp.asarray(lengths)
@@ -132,7 +135,7 @@ def main():
     # its JSON line.
     if regime:
         frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
-        if regime.startswith("turbo3"):
+        if regime.startswith("turbo"):
             n_r = n_reads
             c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=2, random_fraction=frac))
             fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_d)
@@ -161,23 +164,33 @@ def main():
 
             fn = lambda cc: run_lf(sbwt.device_index, cc, l_r)
         n_q = n_r * (read_len - k + 1)
+        t0 = time.perf_counter()
         warm, _ = fn(c)  # compile + warm
         int(warm)  # scalar fetch forces completion (block_until_ready is
-        reps_r = 3  # unreliable on this backend, see the headline loop)
-        t0 = time.perf_counter()
-        acc = 0
+        warm_s = time.perf_counter() - t0  # unreliable on this backend)
+        reps_r = 3
+        rep_qps = []
         for _ in range(reps_r):
+            t0 = time.perf_counter()
             s_, _ = fn(c)
-            acc += int(s_)
-        r_qps = n_q * reps_r / (time.perf_counter() - t0)
-        print(json.dumps({"regime": regime, "qps": round(r_qps), "n_reads": n_r, "reps": reps_r}))
+            int(s_)
+            rep_qps.append(n_q / (time.perf_counter() - t0))
+        print(json.dumps({
+            "regime": regime, "qps": round(max(rep_qps)),
+            "qps_reps": [round(q) for q in rep_qps],
+            "warmup_s": round(warm_s, 1), "n_reads": n_r, "reps": reps_r,
+        }))
         return
 
     if os.environ.get("SBWT_BENCH_MODE") == "full":
         import subprocess
 
         regimes = {"turbo3_hit98": {"qps": round(qps), "reps": reps, "n_reads": n_reads}}
-        names = ["turbo3_hit50", "turbo3_hit0", "lf_hit98", "lf_hit50", "lf_hit0", "rrr_lf_hit98"]
+        names = [
+            "turbo3_hit50", "turbo3_hit0",
+            "turbo1_hit98", "turbo1_hit50", "turbo1_hit0",
+            "lf_hit98", "lf_hit50", "lf_hit0", "rrr_lf_hit98",
+        ]
         for name in names:
             for attempt in range(3):
                 env = dict(os.environ)
@@ -188,7 +201,11 @@ def main():
                 )
                 if proc.returncode == 0 and proc.stdout.strip():
                     r = json.loads(proc.stdout.strip().splitlines()[-1])
-                    regimes[name] = {k2: r[k2] for k2 in ("qps", "n_reads", "reps")}
+                    regimes[name] = {
+                        k2: r[k2]
+                        for k2 in ("qps", "qps_reps", "warmup_s", "n_reads", "reps")
+                        if k2 in r
+                    }
                     write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
                     break
                 regimes[name] = {"error": proc.stderr[-500:]}

@@ -44,7 +44,11 @@ def build_main(argv) -> int:
     p.add_argument("-d", "--temp-dir", default=".")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--format", choices=["cpp", "native"], default="cpp",
-                   help="Index file format (default: cpp — byte-compatible with the reference for every variant)")
+                   help="Index file format (default: cpp — follows the reference's "
+                        ".sbwt layout for every variant; byte layouts are "
+                        "reconstructed from sdsl-lite and semantically replica-"
+                        "tested, but the wt_blcd/select_mcl sublayouts are "
+                        "[assumed] — see docs/SDSL_LAYOUT.md for confidence notes)")
     args = p.parse_args(argv)
 
     from .io import seqio
@@ -121,13 +125,14 @@ def search_main(argv) -> int:
     p.add_argument("-i", "--index-file", required=True)
     p.add_argument("-q", "--query-file", required=True)
     p.add_argument("-z", "--gzip-output", action="store_true")
-    p.add_argument("--engine", choices=["auto", "lf", "turbo", "turbo2", "turbo3"],
+    p.add_argument("--engine",
+                   choices=["auto", "lf", "turbo", "turbo1", "turbo2", "turbo3"],
                    default="auto",
                    help="query engine: LF rank engine, or the successor turbo "
-                        "table (turbo2: pairs, 128 B HBM/column; turbo3: "
-                        "triples, 1 KiB/column; turbo/auto pick the largest "
-                        "arity that fits measured free device memory, "
-                        "degrading 3 -> 2 -> LF)")
+                        "table (turbo1: 16 B HBM/column row tier; turbo2: "
+                        "pairs, 128 B/column; turbo3: triples, 1 KiB/column; "
+                        "turbo/auto pick the largest arity that fits measured "
+                        "free device memory, degrading 3 -> 2 -> 1 -> LF)")
     args = p.parse_args(argv)
 
     t_start = time.perf_counter()
@@ -146,14 +151,14 @@ def search_main(argv) -> int:
 
     sbwt = load(args.index_file)
     write_log(f"Loaded the index variant {sbwt.variant}")
-    want_turbo = args.engine in ("turbo", "turbo2", "turbo3") or (
+    want_turbo = args.engine in ("turbo", "turbo1", "turbo2", "turbo3") or (
         args.engine == "auto"
         and sbwt.variant == "plain-matrix"
         and sbwt.has_streaming_query_support()
     )
     if want_turbo:
         try:
-            arity = {"turbo2": 2, "turbo3": 3}.get(args.engine)
+            arity = {"turbo1": 1, "turbo2": 2, "turbo3": 3}.get(args.engine)
             # auto measures free device memory and degrades 3 -> 2 -> LF
             chosen = sbwt.enable_turbo(arity=arity)
             if chosen is None:

@@ -156,6 +156,38 @@ def read_bit_vector(f) -> np.ndarray:
     return words_to_bits(words, n_bits)
 
 
+def write_bit_vector_packed(
+    f, packed: np.ndarray, n_bits: int, window: int = 1 << 26
+) -> int:
+    """sdsl bit_vector from little-bit-order packed BYTES, streamed in
+    bounded windows — no bool expansion, no word-pad copy (the chunked
+    save path for pangenome-scale plain-matrix indexes).  The byte order
+    of np.packbits(bitorder='little') equals sdsl's LE uint64 word bytes,
+    so the payload is a straight copy plus zero padding."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    nb = (n_bits + 7) // 8
+    assert len(packed) >= nb
+    f.write(struct.pack("<Q", n_bits))
+    n_words = (n_bits + 63) // 64
+    for off in range(0, nb, window):
+        chunk = packed[off : min(off + window, nb)]
+        if off + len(chunk) >= nb and n_bits % 8:
+            chunk = chunk.copy()
+            chunk[-1] &= (1 << (n_bits % 8)) - 1  # sdsl pad bits are zero
+        f.write(chunk.tobytes())
+    f.write(bytes(n_words * 8 - nb))
+    return 8 + n_words * 8
+
+
+def read_bit_vector_packed(f):
+    """Read an sdsl bit_vector as (packed little-order bytes, n_bits)
+    without bool expansion (chunked load path)."""
+    (n_bits,) = struct.unpack("<Q", f.read(8))
+    n_words = (n_bits + 63) // 64
+    raw = np.frombuffer(f.read(n_words * 8), dtype=np.uint8)
+    return raw[: (n_bits + 7) // 8].copy(), n_bits
+
+
 def write_int_vector0(f, values, width: int) -> int:
     """Default-width int_vector<0>: size, width byte, packed values."""
     values = np.asarray(values, dtype=np.uint64)
@@ -222,15 +254,27 @@ def _popcounts(words: np.ndarray) -> np.ndarray:
     return cnt.astype(np.int64)
 
 
-def _rank_family_payload(bools: np.ndarray, sb_words: int, stride: int, field_bits: int) -> np.ndarray:
-    n = len(bools)
-    if n == 0:
-        return np.zeros(2, dtype=np.uint64)
-    words = bits_to_words(bools)
-    cap_words = len(words)
+_BYTE_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def word_popcounts_packed(packed: np.ndarray, n_bits: int) -> np.ndarray:
+    """Per-64-bit-word popcounts from little-order packed bytes (no bool
+    expansion; the chunked save path feeds rank payloads from this)."""
+    nb = (n_bits + 7) // 8
+    n_words = (n_bits + 63) // 64
+    buf = np.zeros(n_words * 8, dtype=np.uint8)
+    buf[:nb] = packed[:nb]
+    if n_bits % 8:
+        buf[nb - 1] &= (1 << (n_bits % 8)) - 1
+    return _BYTE_POPCOUNT[buf].reshape(n_words, 8).sum(axis=1)
+
+
+def _rank_family_payload_from_counts(
+    wcnt_words: np.ndarray, cap_words: int, sb_words: int, stride: int, field_bits: int
+) -> np.ndarray:
     nsb = cap_words // sb_words + 1
     wcnt = np.zeros(nsb * sb_words, dtype=np.int64)
-    wcnt[:cap_words] = _popcounts(words)
+    wcnt[:cap_words] = wcnt_words
     cumw = np.concatenate([[0], np.cumsum(wcnt)])
     out = np.zeros(2 * nsb, dtype=np.uint64)
     starts = np.arange(nsb) * sb_words
@@ -246,12 +290,33 @@ def _rank_family_payload(bools: np.ndarray, sb_words: int, stride: int, field_bi
     return out
 
 
+def _rank_family_payload(bools: np.ndarray, sb_words: int, stride: int, field_bits: int) -> np.ndarray:
+    n = len(bools)
+    if n == 0:
+        return np.zeros(2, dtype=np.uint64)
+    words = bits_to_words(bools)
+    return _rank_family_payload_from_counts(
+        _popcounts(words), len(words), sb_words, stride, field_bits
+    )
+
+
 def rank_v_payload(bools: np.ndarray) -> np.ndarray:
     return _rank_family_payload(bools, sb_words=8, stride=1, field_bits=9)
 
 
 def rank_v5_payload(bools: np.ndarray) -> np.ndarray:
     return _rank_family_payload(bools, sb_words=32, stride=6, field_bits=11)
+
+
+def rank_v5_payload_packed(packed: np.ndarray, n_bits: int) -> np.ndarray:
+    """rank_support_v5 payload from packed bytes (no bool expansion)."""
+    if n_bits == 0:
+        return np.zeros(2, dtype=np.uint64)
+    n_words = (n_bits + 63) // 64
+    return _rank_family_payload_from_counts(
+        word_popcounts_packed(packed, n_bits), n_words,
+        sb_words=32, stride=6, field_bits=11,
+    )
 
 
 def write_rank_support_v(f, bools: np.ndarray) -> int:

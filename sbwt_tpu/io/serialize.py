@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import struct
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -27,6 +28,27 @@ from . import sdsl
 SBWT_VERSION = "v0.1"  # serialized version tag, matches SBWT.hh:28
 
 NATIVE_MAGIC = b"SBWT-TPU-NATIVE-v1\x00"
+
+
+class CppFormatError(ValueError):
+    """Structured parse failure: names the structure and its file offset,
+    so first contact with a real C++-written file is debuggable instead of
+    a bare struct.unpack crash."""
+
+
+@contextmanager
+def _section(f, name: str):
+    start = f.tell()
+    try:
+        yield
+    except CppFormatError:
+        raise
+    except Exception as e:
+        raise CppFormatError(
+            f"cpp-format parse failed in {name} (structure starts at byte "
+            f"offset {start}, error at byte {f.tell()}): "
+            f"{type(e).__name__}: {e}"
+        ) from e
 
 
 # ---------------------------------------------------------------------------
@@ -248,50 +270,83 @@ def _write_struct_cpp(f, variant: str, bits: np.ndarray) -> int:
 
 
 def _read_struct_cpp(f, variant: str) -> np.ndarray:
-    """Parse a cpp-format subset-rank structure back to the 4 bit rows."""
+    """Parse a cpp-format subset-rank structure back to the 4 bit rows.
+
+    Every sub-structure parses inside a named _section so a malformed or
+    truncated file reports WHAT failed and WHERE, not a struct.unpack
+    traceback."""
+    chars = "ACGT"
     if variant == "plain-matrix":
-        rows = [sdsl.read_bit_vector(f) for _ in range(4)]
-        for _ in range(4):
-            sdsl.skip_int_vector64(f)  # rank_support_v5 payloads; recomputed
+        rows = []
+        for c in range(4):
+            with _section(f, f"sdsl::bit_vector {chars[c]}_bits"):
+                rows.append(sdsl.read_bit_vector(f))
+        for c in range(4):
+            with _section(f, f"rank_support_v5 {chars[c]}_bits_rs (skipped)"):
+                sdsl.skip_int_vector64(f)  # payloads recomputed on load
         return np.stack(rows)
     if variant == "rrr-matrix":
-        return np.stack([sdsl.read_rrr(f) for _ in range(4)])
+        rows = []
+        for c in range(4):
+            with _section(f, f"rrr_vector<63> {chars[c]}_bits"):
+                rows.append(sdsl.read_rrr(f))
+        return np.stack(rows)
     if variant == "mef-matrix":
-        rows = [sdsl.read_mef(f) for _ in range(4)]
-        for _ in range(4):
-            sdsl.read_mef_rank_support(f)
+        rows = []
+        for c in range(4):
+            with _section(f, f"mod_ef_vector {chars[c]}_bits"):
+                rows.append(sdsl.read_mef(f))
+        for c in range(4):
+            with _section(f, f"rank_support_mod_ef {chars[c]}_bits_rs"):
+                sdsl.read_mef_rank_support(f)
         return np.stack(rows)
     if variant in ("plain-split", "rrr-split", "mef-split"):
-        if variant == "plain-split":
-            X = sdsl.read_bit_vector(f)
-        elif variant == "rrr-split":
-            X = sdsl.read_rrr(f)
-        else:
-            X = sdsl.read_mef(f)
-        y_char = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
-        Z = np.stack([sdsl.read_bit_vector(f) for _ in range(4)])
-        if variant == "plain-split":
-            sdsl.skip_int_vector64(f)
-        elif variant == "mef-split":
-            sdsl.read_mef_rank_support(f)
-        for _ in range(4):
-            sdsl.skip_int_vector64(f)
+        xtype = {"plain-split": "bit_vector", "rrr-split": "rrr_vector<63>",
+                 "mef-split": "mod_ef_vector"}[variant]
+        with _section(f, f"{xtype} X (non-degree-1 marks)"):
+            if variant == "plain-split":
+                X = sdsl.read_bit_vector(f)
+            elif variant == "rrr-split":
+                X = sdsl.read_rrr(f)
+            else:
+                X = sdsl.read_mef(f)
+        with _section(f, "wt_blcd Y (degree-1 labels)"):
+            y_char = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
+        Zrows = []
+        for c in range(4):
+            with _section(f, f"bit_vector Z_{chars[c]}"):
+                Zrows.append(sdsl.read_bit_vector(f))
+        Z = np.stack(Zrows)
+        with _section(f, "X rank support"):
+            if variant == "plain-split":
+                sdsl.skip_int_vector64(f)
+            elif variant == "mef-split":
+                sdsl.read_mef_rank_support(f)
+        for c in range(4):
+            with _section(f, f"rank_support_v5 Z_{chars[c]}_rs (skipped)"):
+                sdsl.skip_int_vector64(f)
         return _split_recompose(X, y_char, Z)
     if variant in ("plain-concat", "mef-concat"):
         if variant == "plain-concat":
-            concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
-            L = sdsl.read_bit_vector(f)
-            sdsl.read_select_mcl(f)
+            with _section(f, "wt_blcd concat"):
+                concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=False))
+            with _section(f, "bit_vector L (set boundaries)"):
+                L = sdsl.read_bit_vector(f)
+            with _section(f, "select_support_mcl L_ss0"):
+                sdsl.read_select_mcl(f)
         else:
-            concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=True))
-            L = sdsl.read_sd(f)
+            with _section(f, "wt_blcd<rrr_vector<63>> concat"):
+                concat = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=True))
+            with _section(f, "sd_vector L (set boundaries)"):
+                L = sdsl.read_sd(f)
         return _concat_recompose(concat, L)
     if variant in ("plain-subsetwt", "rrr-subsetwt"):
         compressed = variant == "rrr-subsetwt"
-        acgt = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
-        ac = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
-        gt = sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed))
-        return _sswt_recompose(acgt, ac, gt)
+        wts = []
+        for name in ("root (AC,GT)", "left (A,C)", "right (G,T)"):
+            with _section(f, f"SubsetWT {name} wavelet tree"):
+                wts.append(sdsl.wt_decode(sdsl.read_wt_fields(f, compressed=compressed)))
+        return _sswt_recompose(*wts)
     raise ValueError(f"unknown variant {variant!r}")
 
 
@@ -311,8 +366,23 @@ def save_cpp(path: str, sbwt) -> int:
     with open(path, "wb") as f:
         written = write_string(f, sbwt.variant)
         written += write_string(f, SBWT_VERSION)
-        written += _write_struct_cpp(f, sbwt.variant, sbwt.bits)
-        written += sdsl.write_bit_vector(f, sbwt.suffix_group_starts)
+        if sbwt.variant == "plain-matrix":
+            # chunked path: stream the packed host rows directly; never
+            # materialize the bool matrix (17 GB transient at the wide
+            # engine's 4.3e9-column scale)
+            n = sbwt._n_cols
+            for c in range(4):
+                written += sdsl.write_bit_vector_packed(f, sbwt._bits_packed[c], n)
+            for c in range(4):
+                written += sdsl.write_int_vector64(
+                    f, sdsl.rank_v5_payload_packed(sbwt._bits_packed[c], n)
+                )
+        else:
+            written += _write_struct_cpp(f, sbwt.variant, sbwt.bits)
+        if sbwt._n_sgs:
+            written += sdsl.write_bit_vector_packed(f, sbwt._sgs_packed, sbwt._n_sgs)
+        else:
+            written += sdsl.write_bit_vector(f, np.zeros(0, dtype=bool))
         written += write_int64_vector(f, np.asarray(di.C, dtype=np.int64))
         if di.precalc_k == 0:
             pairs = np.empty((0, 2), dtype=np.int64)
@@ -334,41 +404,88 @@ def load_cpp_stream(f):
     into the TPU-native structure for the same variant."""
     from ..models.sbwt import SBWT, VARIANT_NAMES
 
-    variant = read_string(f)
+    with _section(f, "variant tag string"):
+        variant = read_string(f)
     if variant not in VARIANT_NAMES:
-        raise ValueError(f"unrecognized variant tag {variant!r}")
-    version = read_string(f)
+        raise CppFormatError(f"unrecognized variant tag {variant!r}")
+    with _section(f, "SBWT version string"):
+        version = read_string(f)
     if version != SBWT_VERSION:
-        raise ValueError(
+        raise CppFormatError(
             "corrupt index file, or the index was constructed with an "
-            "incompatible version of SBWT"
+            "incompatible version of SBWT "
+            f"(found version tag {version!r}, want {SBWT_VERSION!r})"
         )
-    bits = _read_struct_cpp(f, variant)
-    sgs = sdsl.read_bit_vector(f)
-    C = read_int64_vector(f)
-    pairs = read_int64_vector(f)
-    (precalc_k,) = struct.unpack("<q", f.read(8))
-    (n_nodes,) = struct.unpack("<q", f.read(8))
-    (n_kmers,) = struct.unpack("<q", f.read(8))
-    (k,) = struct.unpack("<q", f.read(8))
-    assert bits.shape[1] == n_nodes
+    if variant == "plain-matrix":
+        # chunked path: keep rows byte-packed end-to-end (no bool matrix)
+        rows = []
+        n_nodes_bits = None
+        for c in range(4):
+            with _section(f, f"sdsl::bit_vector {'ACGT'[c]}_bits"):
+                packed_row, nb = sdsl.read_bit_vector_packed(f)
+            rows.append(packed_row)
+            n_nodes_bits = nb
+        for c in range(4):
+            with _section(f, f"rank_support_v5 {'ACGT'[c]}_bits_rs (skipped)"):
+                sdsl.skip_int_vector64(f)  # payloads recomputed
+        bits_packed = np.stack(rows)
+        bits = None
+        with _section(f, "bit_vector suffix_group_starts"):
+            sgs_packed, sgs_bits = sdsl.read_bit_vector_packed(f)
+    else:
+        bits = _read_struct_cpp(f, variant)
+        with _section(f, "bit_vector suffix_group_starts"):
+            sgs = sdsl.read_bit_vector(f)
+    with _section(f, "C array (int64 vector)"):
+        C = read_int64_vector(f)
+    with _section(f, "k-mer prefix precalc pair vector"):
+        pairs = read_int64_vector(f)
+    with _section(f, "trailing scalars (precalc_k, n_nodes, n_kmers, k)"):
+        (precalc_k,) = struct.unpack("<q", f.read(8))
+        (n_nodes,) = struct.unpack("<q", f.read(8))
+        (n_kmers,) = struct.unpack("<q", f.read(8))
+        (k,) = struct.unpack("<q", f.read(8))
     precalc_table = None
     if precalc_k > 0:
         # keep int64: the builders narrow to int32 only on the narrow
         # engine; wide (>= 2^31 column) tables must not wrap
         precalc_table = pairs.reshape(-1, 2)
-    sbwt = SBWT(
-        bits,
-        sgs if len(sgs) else None,
-        k=int(k),
-        n_kmers=int(n_kmers),
-        precalc_k=int(precalc_k),
-        variant=variant,
-        precalc_table=precalc_table,
-    )
+    if variant == "plain-matrix":
+        if n_nodes_bits != n_nodes:
+            raise CppFormatError(
+                f"bit rows have {n_nodes_bits} columns but the trailing "
+                f"n_nodes scalar says {n_nodes}"
+            )
+        sbwt = SBWT.from_packed(
+            bits_packed,
+            int(n_nodes),
+            sgs_packed if sgs_bits else None,
+            k=int(k),
+            n_kmers=int(n_kmers),
+            precalc_k=int(precalc_k),
+            precalc_table=precalc_table,
+        )
+    else:
+        if bits.shape[1] != n_nodes:
+            raise CppFormatError(
+                f"decoded structure has {bits.shape[1]} columns but the "
+                f"trailing n_nodes scalar says {n_nodes}"
+            )
+        sbwt = SBWT(
+            bits,
+            sgs if len(sgs) else None,
+            k=int(k),
+            n_kmers=int(n_kmers),
+            precalc_k=int(precalc_k),
+            variant=variant,
+            precalc_table=precalc_table,
+        )
     expect_C = np.asarray(sbwt.device_index.C, dtype=np.int64)
     if not np.array_equal(C, expect_C):
-        raise ValueError("corrupt index: C array mismatch")
+        raise CppFormatError(
+            f"corrupt index: stored C array {C.tolist()} does not match the "
+            f"C array recomputed from the decoded rows {expect_C.tolist()}"
+        )
     return sbwt
 
 

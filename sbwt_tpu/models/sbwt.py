@@ -361,9 +361,10 @@ class SBWT:
         streaming_search_batch.
 
         arity=None measures free device memory and picks the largest
-        affordable tier, degrading 3 -> 2 -> LF (returns None and leaves
-        the LF engine active) instead of OOMing.  Returns the arity
-        enabled.  free_bytes overrides the measurement (tests)."""
+        affordable tier, degrading 3 -> 2 -> 1 (16 B/column row tier) ->
+        LF (returns None and leaves the LF engine active) instead of
+        OOMing.  Returns the arity enabled.  free_bytes overrides the
+        measurement (tests)."""
         from ..ops.turbo import build_turbo
         from ..utils.memory import select_turbo_arity
 

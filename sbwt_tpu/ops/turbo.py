@@ -1,17 +1,26 @@
-"""Turbo query engine: de Bruijn successor tables of arity 2 or 3.
+"""Turbo query engine: de Bruijn successor tables of arity 1, 2 or 3.
 
 The exact-output fast path for the reference's headline workload
 (`sbwt search` streaming over reads, src/CLI/sbwt_search.cpp:46-65),
 trading HBM for gather count — the TPU query bottleneck is dependent
 random gathers, so answers-per-gather is the whole game:
 
-* ``tbl`` int32 [n*4^A, A(+pad)]: for arity A, entry
+* Arity 2/3: ``tbl`` int32 [n*4^A, A(+pad)]: entry
   col*4^A + c_1*4^(A-1) + ... + c_A holds the successor columns after
   applying 1..A out-edges from col's suffix group (SBWT.hh:566-577),
   with -1 propagation baked in.  One 8-byte (A=2) or 16-byte (A=3)
   gather advances a read A k-mer positions: 1/A gathers/answer on the
   streaming chain, vs 2 rank gathers/answer for the LF engine.
   HBM cost: 128 B/column (A=2) or 1 KiB/column (A=3).
+
+* Arity 1 ("uni" tier): ``tbl`` int32 [n, 4]: ROW per column holding its
+  4 successors; the chain gathers one 16-byte row per step and selects
+  by the read character on the VPU.  1 gather/answer — but measured row
+  gathers run ~1.4x faster than scalar gathers (153M vs 111M rows/s at
+  4M lanes from a <=128 MB table, scratch/uni_proto.py), so the chain
+  still sustains >150M answers/s while costing only 16 B/column — the
+  tier that holds the >=100M q/s target on indexes where the arity-2/3
+  tables cannot fit (pangenome scale: 1G columns = 16 GB).
 
 * First k-mers and post-mismatch restarts use the **singleton seed**
   path: with precalc_k >= log4(n) the precalc interval of a k-mer's
@@ -141,14 +150,18 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
     """Build the successor table from a device index (any variant that
     implements the engine interface; plain-matrix recommended).
 
-    arity 2: 128 B HBM per column.  arity 3: 1 KiB per column, ~1.5x
-    fewer chain gathers — for indexes where HBM allows."""
+    arity 1: 16 B HBM per column ([n, 4] successor rows).  arity 2:
+    128 B per column.  arity 3: 1 KiB per column, ~1.5x fewer chain
+    gathers — for indexes where HBM allows."""
     if not index.has_streaming:
         raise ValueError("turbo engine requires streaming support (suffix group marks)")
-    if arity not in (2, 3):
-        raise ValueError("turbo arity must be 2 or 3")
-    chunk = 1 << 20 if arity == 2 else 1 << 18
-    tbl = _build_tbl(index, arity, chunk)
+    if arity not in (1, 2, 3):
+        raise ValueError("turbo arity must be 1, 2 or 3")
+    if arity == 1:
+        tbl = jnp.transpose(_succ1_jit(index))  # [n, 4] int32 rows
+    else:
+        chunk = 1 << 20 if arity == 2 else 1 << 18
+        tbl = _build_tbl(index, arity, chunk)
     return TurboIndex(
         tbl=tbl,
         precalc=index.precalc,
@@ -171,6 +184,14 @@ def _step(turbo, col, cs, vs):
     Dead lanes (col < 0) stay dead; -1 propagates."""
     A = turbo.arity
     idx = jnp.clip(col, 0)
+    if A == 1:
+        # [n, 4] row layout: one 16-byte row gather + VPU select by char
+        row = turbo.tbl[idx]
+        c = cs[0] & 3
+        s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
+        s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
+        s = jnp.where(c <= 1, s01, s23)
+        return [jnp.where((col >= 0) & vs[0], s, -1)]
     for c in cs:
         idx = idx * 4 + (c & 3)
     row = turbo.tbl[idx]

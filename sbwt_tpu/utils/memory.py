@@ -37,26 +37,33 @@ def device_free_bytes(device=None) -> int | None:
 
 
 def turbo_table_bytes(n_nodes: int, arity: int) -> int:
-    """HBM cost of the successor table (ops/turbo.py layout):
-    int32 [n * 4^arity, width] with width 2 (arity 2) or 4 (arity 3)."""
+    """HBM cost of the successor table (ops/turbo.py layouts):
+    arity 1 = int32 [n, 4] rows (16 B/col); arity 2/3 = int32
+    [n * 4^arity, width] with width 2 (arity 2) or 4 (arity 3)."""
+    if arity == 1:
+        return n_nodes * 16
     width = 2 if arity == 2 else 4
     return n_nodes * (4**arity) * width * 4
 
 
 def select_turbo_arity(n_nodes: int, free_bytes: int | None = None) -> int | None:
-    """Largest affordable turbo arity (3, 2) or None for the LF engine.
+    """Largest affordable turbo arity (3, 2, 1) or None for the LF engine.
 
     free_bytes defaults to the measured free memory of the default device;
-    the table may take at most HEADROOM_FRACTION of it."""
+    the table may take at most HEADROOM_FRACTION of it.  The arity-1 row
+    tier costs only 16 B/column and still sustains >=100M answers/s, so
+    the LF fallback is reached only past ~1G columns on a 16 GB chip."""
     if free_bytes is None:
         free_bytes = device_free_bytes()
     if free_bytes is None:
         # unmeasurable: conservative legacy thresholds (2 GB pair table)
         if n_nodes <= 6_000_000:
             return 3
-        return 2 if n_nodes <= 16_000_000 else None
+        if n_nodes <= 16_000_000:
+            return 2
+        return 1 if n_nodes <= 400_000_000 else None
     budget = int(free_bytes * HEADROOM_FRACTION)
-    for arity in (3, 2):
+    for arity in (3, 2, 1):
         if turbo_table_bytes(n_nodes, arity) <= budget:
             return arity
     return None

@@ -8,6 +8,8 @@ tests assert (tests/test_small.hh:324-429) and extends it to byte level.
 """
 import io
 import itertools
+import os
+import textwrap
 
 import numpy as np
 import pytest
@@ -367,3 +369,112 @@ def test_plain_matrix_golden_bytes(tmp_path, plain_index):
     with open(path, "rb") as f:
         got = f.read()
     assert got == _expected_plain_matrix_bytes(plain_index)
+
+
+_WIDE_ROUNDTRIP = textwrap.dedent(
+    """
+    import resource, sys
+    import numpy as np
+    # 24 GB address-space cap: the packed save/load path fits (packed rows
+    # 2.7 GB + cpu-device rank tables ~7 GB); a bool-matrix transient
+    # (4 rows x 4.3e9 cols = 17 GB) on top would blow it.
+    cap = 24 << 30
+    resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from sbwt_tpu.models.sbwt import SBWT
+    from sbwt_tpu.models.wide import WideMatrixIndex
+    from sbwt_tpu.io.serialize import save_cpp, load
+    from sbwt_tpu.ops import search as engines
+
+    K = 16
+    NK = 4 ** K
+    N = NK + 1
+    W = N // 32 + 1
+    # complete order-16 DBG pattern (tests/test_wide_index.py, self-checked
+    # there against the real constructor at k=8)
+    row = np.full(W, 0x22222222, dtype=np.uint32)
+    row[-1] = 0
+    sgs = row.copy()
+    sgs[0] = 0x22222223
+    packed = np.stack([row] * 4).view(np.uint8).reshape(4, -1)[:, : (N + 7) // 8]
+    sgs_packed = sgs.view(np.uint8)[: (N + 7) // 8]
+
+    sbwt = SBWT.from_packed(packed, N, sgs_packed, k=K, n_kmers=NK, precalc_k=2)
+    assert isinstance(sbwt.device_index, WideMatrixIndex)
+    path = sys.argv[1]
+    save_cpp(path, sbwt)
+    del sbwt
+
+    loaded = load(path)
+    assert isinstance(loaded.device_index, WideMatrixIndex)
+    assert loaded.number_of_subsets() == N and loaded.number_of_kmers() == NK
+
+    rng = np.random.default_rng(0)
+    pows = 4 ** np.arange(K, dtype=np.int64)
+    qs = rng.integers(0, 4, size=(2048, K)).astype(np.int8)
+    qs[0, :] = 0
+    qs[1, :] = 3
+    got = np.asarray(engines.search_jit(loaded.device_index, jnp.asarray(qs)))
+    want = 1 + (qs.astype(np.int64) * pows).sum(axis=-1)
+    assert want.max() > 2**31
+    assert np.array_equal(got, want), (got[:4], want[:4])
+    print("WIDE-ROUNDTRIP-OK")
+    """
+)
+
+
+@pytest.mark.slow
+def test_cpp_roundtrip_wide_scale(tmp_path):
+    """save_cpp + load of a 4.29-billion-column index under a host
+    address-space cap that a bool-matrix transient would blow: the
+    chunked packed path keeps cpp export/import usable at wide-engine
+    scale, spot-checked by the complete-DBG closed-form oracle."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = str(tmp_path / "wide.sbwt")
+    proc = subprocess.run(
+        [sys.executable, "-c", _WIDE_ROUNDTRIP, out],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    assert proc.returncode == 0 and "WIDE-ROUNDTRIP-OK" in proc.stdout, (
+        proc.stderr[-4000:]
+    )
+
+
+def test_truncated_cpp_file_reports_structure_and_offset(tmp_path):
+    """A truncated/corrupted .sbwt file must fail with a named structure
+    and byte offset (CppFormatError), not a bare struct.unpack crash —
+    first contact with real C++-written files must be debuggable."""
+    from sbwt_tpu.io.serialize import CppFormatError, save_cpp
+
+    sb = SBWT.build(["ACGTACGTAGCTAGCTACGATCGATCG"], 6, precalc_k=2)
+    path = tmp_path / "ok.sbwt"
+    n_total = save_cpp(str(path), sb)
+    data = path.read_bytes()
+    # truncate inside the 3rd bit vector: past tag+version+2 rows
+    for cut in (len(data) // 3, len(data) // 2, len(data) - 9):
+        bad = tmp_path / f"cut{cut}.sbwt"
+        bad.write_bytes(data[:cut])
+        with bad.open("rb") as f:
+            with pytest.raises(CppFormatError) as ei:
+                ser.load_cpp_stream(f)
+        msg = str(ei.value)
+        assert "byte offset" in msg or "columns" in msg, msg
+    # flip a SET bit inside the A row's data words (tag 20B + version 12B +
+    # count 8B = data at 40): clearing a real 1-bit changes the recomputed
+    # C array, which the load must catch
+    bad = bytearray(data)
+    flip_at = next(i for i in range(40, 48) if bad[i])
+    bad[flip_at] &= bad[flip_at] - 1  # clear lowest set bit
+    p2 = tmp_path / "flip.sbwt"
+    p2.write_bytes(bytes(bad))
+    with p2.open("rb") as f:
+        with pytest.raises(CppFormatError):
+            ser.load_cpp_stream(f)

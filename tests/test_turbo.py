@@ -31,7 +31,7 @@ def sb():
     return _mk(seqs, 12, 7)
 
 
-@pytest.fixture(scope="module", params=[2, 3])
+@pytest.fixture(scope="module", params=[1, 2, 3])
 def turbo(sb, request):
     return build_turbo(sb.device_index, arity=request.param)
 
@@ -92,7 +92,7 @@ def test_enable_turbo_api(sb):
         sb._turbo = None
 
 
-@pytest.mark.parametrize("arity", [2, 3])
+@pytest.mark.parametrize("arity", [1, 2, 3])
 @pytest.mark.parametrize("k,p", [(8, 8), (9, 4), (16, 7), (14, 3), (15, 4)])
 def test_turbo_odd_tail_lengths(k, p, arity):
     """k - p mod arity in {0,1,2} and k == p exercise the partial tail."""
@@ -110,7 +110,7 @@ def test_turbo_odd_tail_lengths(k, p, arity):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("arity", [2, 3])
+@pytest.mark.parametrize("arity", [1, 2, 3])
 def test_turbo_deep_slow_path(arity):
     """Tiny precalc (p=2) makes most seeds non-singleton: the exact-LF
     fallback (seed interval + packed-window LF steps, rem > 16 so both
