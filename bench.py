@@ -45,6 +45,38 @@ def sample_read_codes(
     return codes
 
 
+def sample_read_codes_device(
+    genome_codes: np.ndarray,
+    n_reads: int,
+    read_len: int,
+    seed: int = 1,
+    random_fraction: float = 0.02,
+):
+    """Device-side read sampling: upload the 4 MB genome once and gather
+    the [n_reads, read_len] batch ON the chip.  Round 2's mysterious
+    '26-minute warmup' was not compile time at all — it was the 400 MB
+    host batch crawling through the axon tunnel (~300 KB/s); the XLA
+    compile itself caches and finishes in about a minute."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def mk(genome, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        starts = jax.random.randint(
+            k1, (n_reads,), 0, len(genome_codes) - read_len, dtype=jnp.int32
+        )
+        codes = genome[starts[:, None] + jnp.arange(read_len, dtype=jnp.int32)[None, :]]
+        n_rand = max(1, int(n_reads * random_fraction))
+        rand_rows = jax.random.randint(k2, (n_rand,), 0, n_reads, dtype=jnp.int32)
+        rand_codes = jax.random.randint(
+            k3, (n_rand, read_len), 0, 4, dtype=jnp.int8
+        )
+        return codes.at[rand_rows].set(rand_codes)
+
+    return mk(jnp.asarray(genome_codes), jax.random.PRNGKey(seed))
+
+
 def main():
     import jax
 
@@ -111,7 +143,7 @@ def main():
         return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
     if regime is None:
-        codes_d = jnp.asarray(sample_read_codes(genome_codes, n_reads, read_len))
+        codes_d = sample_read_codes_device(genome_codes, n_reads, read_len)
         # compile + warmup
         acc0, hits = run(turbo, sbwt.device_index, codes_d, lengths_d)
         hit = int(hits) / queries_per_batch
@@ -137,13 +169,13 @@ def main():
         frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
         if regime.startswith("turbo"):
             n_r = n_reads
-            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=2, random_fraction=frac))
+            c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
             fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_d)
         elif regime.startswith("rrr"):
             n_r = min(n_reads, 1 << 20)
             write_log("bench: re-encoding rrr-matrix variant")
             rrr = sbwt.to_variant("rrr-matrix")
-            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=4, random_fraction=frac))
+            c = sample_read_codes_device(genome_codes, n_r, read_len, seed=4, random_fraction=frac)
             l_r = lengths_d[:n_r]
 
             @jax.jit
@@ -154,7 +186,7 @@ def main():
             fn = lambda cc: run_rrr(rrr.device_index, cc, l_r)
         else:  # lf
             n_r = min(n_reads, 1 << 21)
-            c = jnp.asarray(sample_read_codes(genome_codes, n_r, read_len, seed=3, random_fraction=frac))
+            c = sample_read_codes_device(genome_codes, n_r, read_len, seed=3, random_fraction=frac)
             l_r = lengths_d[:n_r]
 
             @jax.jit
