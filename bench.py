@@ -243,8 +243,25 @@ def main():
                 regimes[name] = {"error": proc.stderr[-500:]}
                 write_log(f"bench regime {name}: attempt {attempt} failed")
                 time.sleep(90)  # intermittent tunnel faults; let it settle
+        # construction throughput datapoint (host+native; device upload
+        # excluded) recorded next to the query numbers
+        build_rec = {"index_build_seconds_device_env": round(build_s, 2)}
+        bb = subprocess.run(
+            [sys.executable, "benchmarks/build_benchmark.py", "--mbp", "16"],
+            capture_output=True, text=True,
+        )
+        if bb.returncode == 0 and bb.stdout.strip():
+            try:
+                build_rec.update(json.loads(bb.stdout.strip().splitlines()[-1]))
+            except json.JSONDecodeError:
+                build_rec["error"] = bb.stdout[-300:]
+        else:
+            build_rec["error"] = bb.stderr[-300:]
         with open("BENCH_REGIMES.json", "w") as f:
-            json.dump({"k": k, "read_len": read_len, "regimes": regimes}, f, indent=1)
+            json.dump(
+                {"k": k, "read_len": read_len, "regimes": regimes, "build": build_rec},
+                f, indent=1,
+            )
 
     baseline = 100e6  # BASELINE.json: >=100M k-mer queries/s/chip
     print(

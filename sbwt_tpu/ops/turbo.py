@@ -52,22 +52,37 @@ from jax import lax
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tbl", "precalc", "C"],
+    data_fields=["tbl", "precalc", "C", "seed_bits"],
     meta_fields=["n_nodes", "k", "precalc_k", "arity"],
 )
 @dataclass(frozen=True)
 class TurboIndex:
-    tbl: jax.Array  # int32 [n*4^A, row] (row = 2 for A=2, 4 for A=3)
+    tbl: jax.Array  # int32 [n*4^A, row] (row = 2 for A=2, 4 for A=3); [n, 4] for A=1
     precalc: jax.Array  # int32 [4^p, 2] (shared with the base index)
     C: jax.Array  # int32 [4]
     n_nodes: int
     k: int
     precalc_k: int
     arity: int = 2
+    # 1 bit per p-mer: precalc interval non-empty.  4^p/8 bytes (8.4 MB at
+    # p=13) — a miss-regime accelerator: restart positions are pre-killed
+    # by one gather from this tiny table instead of an 8-byte gather each
+    # from the 537 MB precalc table (94% of random k-mers die here).
+    seed_bits: jax.Array | None = None
 
     @property
     def pair_tbl(self):  # backwards-compatible alias (arity-2 table)
         return self.tbl
+
+
+@jax.jit
+def _pack_bits_u32(b):
+    """bool [n] -> uint32 [ceil(n/32)] little-bit-order words, on device."""
+    n = b.shape[0]
+    pad = (-n) % 32
+    b = jnp.pad(b, (0, pad))
+    w = b.reshape(-1, 32).astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+    return w.sum(axis=1, dtype=jnp.uint32)
 
 
 def _succ1(index):
@@ -162,6 +177,9 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
     else:
         chunk = 1 << 20 if arity == 2 else 1 << 18
         tbl = _build_tbl(index, arity, chunk)
+    seed_bits = (
+        _pack_bits_u32(index.precalc[:, 0] >= 0) if index.precalc_k > 0 else None
+    )
     return TurboIndex(
         tbl=tbl,
         precalc=index.precalc,
@@ -170,6 +188,7 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
         k=index.k,
         precalc_k=index.precalc_k,
         arity=arity,
+        seed_bits=seed_bits,
     )
 
 
@@ -261,11 +280,11 @@ def fast_search(turbo: TurboIndex, codes):
 # ---------------------------------------------------------------------------
 
 
-def _seed_all_positions(turbo, rows, P):
-    """Precalc seeds and window validity for every k-mer position of the
-    given code rows [C, L] (VPU math + one seed gather per position).
+def _pidx_vwin(turbo, rows, P):
+    """Precalc table indices and window validity for every k-mer position
+    of the code rows [C, L] — pure VPU math, no gathers.
 
-    Returns (l, r, vwin): seed intervals [C, P] and all-chars-valid mask."""
+    Returns (pidx, vwin): int32 [C, P] and all-chars-valid mask."""
     k, p = turbo.k, turbo.precalc_k
     C_, L = rows.shape
     ok = (rows >= 0) & (rows < 4)
@@ -277,6 +296,15 @@ def _seed_all_positions(turbo, rows, P):
     pidx = jnp.zeros((C_, P), dtype=jnp.int32)
     for j in range(p):
         pidx = pidx + cc[:, j : j + P] * weights[j]
+    return pidx, vwin
+
+
+def _seed_all_positions(turbo, rows, P):
+    """Precalc seeds and window validity for every k-mer position of the
+    given code rows [C, L] (VPU math + one seed gather per position).
+
+    Returns (l, r, vwin): seed intervals [C, P] and all-chars-valid mask."""
+    pidx, vwin = _pidx_vwin(turbo, rows, P)
     seed = turbo.precalc[pidx]  # [C, P, 2]
     return seed[..., 0], seed[..., 1], vwin
 
@@ -433,7 +461,8 @@ def turbo_streaming_search(
 
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
-    Cn = _clamp_pow2(B // 16, 8192, 1 << 16) if chunk_lanes is None else min(chunk_lanes, B)
+    cap = 1 << 17 if (use_pw and turbo.seed_bits is not None) else 1 << 16
+    Cn = _clamp_pow2(B // 16, 8192, cap) if chunk_lanes is None else min(chunk_lanes, B)
     Cn = min(Cn, B)
     # expected live fractions (docs/DESIGN.md: p >= 13 keeps non-singleton
     # seeds ~0.2% and live singletons ~6% of random-read positions) size
@@ -442,6 +471,68 @@ def turbo_streaming_search(
     cs_ = _clamp_pow2(Cn * P // 64, 8192, 1 << 16) if chunk_slow is None else chunk_slow
     cs_ = min(cs_, Cn * P)
     Ww = min(_clamp_pow2(Cn * P // 16, 8192, 1 << 18), Cn * P)  # walk-chunk width
+    Lw = min(_clamp_pow2(Cn * P // 8, 8192, 1 << 18), Cn * P)  # live-chunk width
+
+    def lane_body_bitmap(i, a):
+        """Patch pass with the seed bitmap (the miss-regime fast path):
+        one gather from the tiny bitmap kills dead positions (~94% of
+        random-read positions at p=13); only LIVE positions touch the big
+        precalc table, compacted."""
+        lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
+        safe = jnp.clip(lanes, 0, B - 1)
+        rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
+        un = unresolved[safe] & (lanes[:, None] < B)  # [Cn, P]
+        pidx, vwin = _pidx_vwin(turbo, rows, P)
+        w = turbo.seed_bits[jnp.clip(pidx >> 5, 0)]
+        seed_live = ((w >> (pidx & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1
+        alive = seed_live & vwin
+        # dead unresolved positions answer -1 outright
+        new_rows = jnp.where(un & ~alive, -1, a[safe])
+        pw = _pack_rem(rows, P, k, p).reshape(Cn * P, 2)
+        pidx_f = pidx.ravel()
+        lw_list, lc = compact_indices(un & alive)
+        Sw = min(cs_, Lw)
+
+        def live_body(t, nr):
+            sel = lax.dynamic_slice(lw_list, (t * Lw,), (Lw,))  # sentinel Cn*P
+            ok_sel = sel < Cn * P
+            selc = jnp.clip(sel, 0, Cn * P - 1)
+            seed = turbo.precalc[pidx_f[selc]]
+            l0s, r0s = seed[:, 0], seed[:, 1]
+            singleton = l0s == r0s
+            pws = pw[selc]
+
+            def char_fn(j):
+                wv = pws[..., 0] if j < 16 else pws[..., 1]
+                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
+                    jnp.int32
+                )
+
+            col = _walk_rem(
+                turbo, jnp.where(singleton & ok_sel, l0s, -1), char_fn, rem
+            )
+            nr = (
+                nr.ravel()
+                .at[jnp.where(singleton, sel, Cn * P)]
+                .set(col, mode="drop")
+                .reshape(Cn, P)
+            )
+            # non-singleton seeds: exact LF, sub-compacted (~0.2% at p=13)
+            sw2, sc2 = compact_indices(~singleton & ok_sel)
+
+            def slow_body(u, nr2):
+                s2 = lax.dynamic_slice(sw2, (u * Sw,), (Sw,))  # into sel
+                s2c = jnp.clip(s2, 0, Lw - 1)
+                res = _lf_from_seeds(index, l0s[s2c], r0s[s2c], pws[s2c], rem)
+                tgt = jnp.where(s2 < Lw, sel[s2c], Cn * P)
+                return nr2.ravel().at[tgt].set(res, mode="drop").reshape(Cn, P)
+
+            n2 = (sc2 + Sw - 1) // Sw
+            return lax.fori_loop(0, n2, slow_body, nr)
+
+        n_lt = (lc + Lw - 1) // Lw
+        new_rows = lax.fori_loop(0, n_lt, live_body, new_rows)
+        return a.at[lanes].set(new_rows, mode="drop")
 
     def lane_body(i, a):
         lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
@@ -521,7 +612,8 @@ def turbo_streaming_search(
         return a.at[lanes].set(new_rows, mode="drop")
 
     n_lane_iters = (n_dirty + Cn - 1) // Cn
-    ans = lax.fori_loop(0, n_lane_iters, lane_body, ans)
+    body = lane_body_bitmap if (use_pw and turbo.seed_bits is not None) else lane_body
+    ans = lax.fori_loop(0, n_lane_iters, body, ans)
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
