@@ -168,9 +168,17 @@ def main():
     if regime:
         frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
         if regime.startswith("turbo"):
-            n_r = n_reads
+            # arity 1's table is 16 B/col (64 MB here), leaving HBM room
+            # for 8M lanes — the gather rate still climbs there (105.5M
+            # vs 101.2M q/s at 4M); arity 3's 4 GB table makes 8M regress
+            n_r = (
+                max(n_reads, 1 << 23)
+                if regime.startswith("turbo1") and "SBWT_BENCH_READS" not in os.environ
+                else n_reads
+            )
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
-            fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_d)
+            lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
+            fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_r)
         elif regime.startswith("rrr"):
             n_r = min(n_reads, 1 << 20)
             write_log("bench: re-encoding rrr-matrix variant")

@@ -257,16 +257,26 @@ def _popcounts(words: np.ndarray) -> np.ndarray:
 _BYTE_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def word_popcounts_packed(packed: np.ndarray, n_bits: int) -> np.ndarray:
+def word_popcounts_packed(
+    packed: np.ndarray, n_bits: int, window_words: int = 1 << 23
+) -> np.ndarray:
     """Per-64-bit-word popcounts from little-order packed bytes (no bool
-    expansion; the chunked save path feeds rank payloads from this)."""
+    expansion; the chunked save path feeds rank payloads from this).
+    Processed in bounded windows — at wide-engine scale (4.3e9 columns) a
+    whole-row int64 table lookup would transiently cost 8x the row."""
     nb = (n_bits + 7) // 8
     n_words = (n_bits + 63) // 64
-    buf = np.zeros(n_words * 8, dtype=np.uint8)
-    buf[:nb] = packed[:nb]
-    if n_bits % 8:
-        buf[nb - 1] &= (1 << (n_bits % 8)) - 1
-    return _BYTE_POPCOUNT[buf].reshape(n_words, 8).sum(axis=1)
+    out = np.empty(n_words, dtype=np.int64)
+    pc8 = _BYTE_POPCOUNT.astype(np.uint8)
+    for w0 in range(0, n_words, window_words):
+        w1 = min(w0 + window_words, n_words)
+        buf = np.zeros((w1 - w0) * 8, dtype=np.uint8)
+        lob, hib = w0 * 8, min(w1 * 8, nb)
+        buf[: hib - lob] = packed[lob:hib]
+        if hib == nb and n_bits % 8:
+            buf[nb - 1 - lob] &= (1 << (n_bits % 8)) - 1
+        out[w0:w1] = pc8[buf].reshape(-1, 8).sum(axis=1, dtype=np.int64)
+    return out
 
 
 def _rank_family_payload_from_counts(

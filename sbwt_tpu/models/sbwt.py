@@ -206,6 +206,49 @@ class SBWT:
         )
 
     @classmethod
+    def build_on_device(
+        cls,
+        seqs,
+        k: int,
+        streaming_support: bool = True,
+        precalc_k: int = 0,
+        src_pad: int | None = None,
+    ):
+        """Construct ON the TPU: the whole pipeline (window packing, colex
+        sort, dedup, out-edge joins, dummy emission, rank-table packing)
+        runs as one compiled XLA program (construct/device.py) — the
+        TPU-native replacement for the reference's KMC + EM-sort path.
+        k <= 32; raises ValueError on pathologically fragmented inputs
+        (source budget), where the host builder is the fallback.
+
+        The host packed copies (serialization, variant re-encode) are
+        recovered from the device rank tables in one small download
+        (n/2 bytes)."""
+        from ..construct.device import build_sbwt_device
+
+        di = build_sbwt_device(
+            seqs, k, streaming_support=streaming_support,
+            precalc_k=precalc_k, src_pad=src_pad,
+        )
+        self = object.__new__(cls)
+        self.variant = "plain-matrix"
+        self.device_index = di
+        n = di.n_nodes
+        self._n_cols = n
+        nb = (n + 7) // 8
+        words = np.asarray(di.rank_tbl[:, 0]).astype(np.uint32)
+        rows = words.reshape(4, di.n_words).view(np.uint8)
+        self._bits_packed = np.ascontiguousarray(rows[:, :nb])
+        if di.has_streaming:
+            sgs_words = np.asarray(di.sgs_tbl[:, 0]).astype(np.uint32)
+            self._sgs_packed = np.ascontiguousarray(sgs_words.view(np.uint8)[:nb])
+            self._n_sgs = n
+        else:
+            self._sgs_packed = np.zeros(0, dtype=np.uint8)
+            self._n_sgs = 0
+        return self
+
+    @classmethod
     def build(
         cls,
         seqs,
