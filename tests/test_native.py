@@ -318,3 +318,24 @@ def test_short_write_never_silent(tmp_path, entry, budgets):
             f"writes; rc={r.returncode} stdout={out!r} "
             f"stderr={r.stderr.decode()[-400:]!r}"
         )
+
+
+def test_stream_build_codes_native_matches_python(tmp_path):
+    """The CLI build's streaming input generator: native reader path and
+    pure-Python path must yield identical build-code arrays (lowercase ->
+    invalid, per SBWT.hh:426-427)."""
+    from sbwt_tpu.io import seqio as sio
+    from sbwt_tpu.utils.dna import encode
+
+    rng = np.random.default_rng(13)
+    seqs = []
+    for _ in range(30):
+        s = "".join(rng.choice(list("ACGTacgtN"), p=[0.2, 0.2, 0.2, 0.2, 0.04, 0.04, 0.04, 0.04, 0.04], size=int(rng.integers(10, 200))))
+        seqs.append(s)
+    fa = str(tmp_path / "mix.fna")
+    _write_fasta(fa, seqs)
+    got = list(sio.stream_build_codes([fa]))
+    want = [encode(s) for s in seqs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
