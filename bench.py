@@ -254,9 +254,11 @@ def main():
         # construction throughput datapoint (host+native; device upload
         # excluded) recorded next to the query numbers
         build_rec = {"index_build_seconds_device_env": round(build_s, 2)}
+        bb_env = dict(os.environ)
+        bb_env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         bb = subprocess.run(
             [sys.executable, "benchmarks/build_benchmark.py", "--mbp", "16"],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=bb_env,
         )
         if bb.returncode == 0 and bb.stdout.strip():
             try:

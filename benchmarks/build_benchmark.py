@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--ram-mb", type=int, default=512)
+    ap.add_argument("--with-device", action="store_true",
+                    help="also time SBWT on-device construction (needs the TPU; "
+                         "uploads the corpus once through the tunnel)")
     args = ap.parse_args()
 
     from sbwt_tpu.construct.inmemory import build_sbwt
@@ -61,6 +64,29 @@ def main():
             "threads": args.threads,
         },
     }
+    if args.with_device:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        from sbwt_tpu.construct.device import build_sbwt_device, prepare_device_codes
+
+        prep = prepare_device_codes(seqs, args.k)
+        jax.block_until_ready(prep[0])
+        t0 = time.perf_counter()
+        di = build_sbwt_device(seqs, args.k, prepared=prep)
+        cold = time.perf_counter() - t0  # compile + run (upload already paid)
+        assert di.n_kmers == int(mem.n_kmers)
+        t0 = time.perf_counter()
+        di = build_sbwt_device(seqs, args.k, prepared=prep)
+        int(np.asarray(di.C)[3])  # force completion (host scalar fetch)
+        warm = time.perf_counter() - t0
+        out["device"] = {
+            "cold_seconds": round(cold, 2),
+            "seconds": round(warm, 2),
+            "mbp_per_s": round(args.mbp / warm, 2),
+        }
     print(json.dumps(out))
 
 
