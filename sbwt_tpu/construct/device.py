@@ -12,12 +12,16 @@ scalar fetches at the end).
 
 Design notes:
 
-* k <= 32 k-mers are (hi, lo) uint32 pairs (top-aligned like
-  utils/kmers.py, so pairwise unsigned compare == colex compare);
-  `lax.sort` with num_keys >= 2 gives the 64-bit ordering without x64.
+* k-mers are W = ceil(k/16) uint32 words, top-aligned (char at distance d
+  from the END at bits [30-2*(d%16), 31-2*(d%16)] of word d//16, word 0
+  most significant) so word-sequence unsigned compare == colex compare;
+  `lax.sort` with num_keys = W (+1 for the length tiebreak) gives the
+  multi-word ordering without x64.  Any k <= 255 (the reference's
+  MAX_KMER_LENGTH ceiling) works; W is a static compile parameter.
 * Sorted-set membership (out-edge probes, predecessor tests) is done with
-  the merge trick — concatenate tagged keys, one multi-key sort, check
-  the left neighbor — because there is no 2-key searchsorted on device.
+  the merge trick — concatenate tagged keys, one multi-key sort, then
+  propagate each equal-key run's leading tag — because there is no
+  multi-key searchsorted on device.
 * Dummy prefixes are emitted into a STATIC slot budget (`src_pad`
   sources): genomes have a handful of sources (k-mers without a
   predecessor), read sets roughly one per read.  If the input exceeds the
@@ -42,6 +46,10 @@ from jax import lax
 _SENT = np.uint32(0xFFFFFFFF)
 
 
+def _n_key_words(k: int) -> int:
+    return -(-k // 16)
+
+
 def _pack_bits_words(b, n_words):
     """bool [T] -> uint32 [n_words] little-bit-order words (T <= 32*n_words)."""
     T = b.shape[0]
@@ -57,71 +65,117 @@ def _rank_rows(words):
     return jnp.stack([words.astype(jnp.int32), cum], axis=1)
 
 
-def _drop_first(hi, lo, k):
-    """Clear the first char (bits [64-2k, 65-2k]) of length-k pairs."""
-    b = 64 - 2 * k
-    if b >= 32:
-        return hi & np.uint32(~(3 << (b - 32)) & 0xFFFFFFFF), lo
-    return hi, lo & np.uint32(~(3 << b) & 0xFFFFFFFF)
+# ---------------------------------------------------------------------------
+# W-word key helpers: values are python lists of W uint32 arrays, word 0
+# most significant.  Char at distance d from the end lives in word d//16
+# at bits [30-2*(d%16), 31-2*(d%16)].
+# ---------------------------------------------------------------------------
 
 
-def _drop_last(hi, lo):
-    """64-bit shift left by 2 (drop the most-significant char pair)."""
-    return (hi << 2) | (lo >> 30), lo << 2
+def _word_bit_of_distance(d: int):
+    return d // 16, 30 - 2 * (d % 16)
 
 
-def _append_last(hi, lo, c):
-    """64-bit shift right by 2, then set the top char to c."""
+def _drop_first(ws, k):
+    """Clear the first char (distance k-1 from the end) of length-k keys."""
+    wi, b = _word_bit_of_distance(k - 1)
+    out = list(ws)
+    out[wi] = ws[wi] & np.uint32(~(3 << b) & 0xFFFFFFFF)
+    return out
+
+
+def _shift_left2(ws):
+    """Multi-word left shift by 2 bits (Kmer::dropright semantics)."""
+    W = len(ws)
+    out = []
+    for i in range(W):
+        nxt = (ws[i + 1] >> 30) if i + 1 < W else jnp.zeros_like(ws[i])
+        out.append((ws[i] << 2) | nxt)
+    return out
+
+
+def _append_last(ws, c):
+    """Multi-word right shift by 2, then set the top char to c."""
+    W = len(ws)
     c = c.astype(jnp.uint32) if hasattr(c, "astype") else jnp.uint32(c)
-    return (hi >> 2) | (c << 30), (lo >> 2) | ((hi & 3) << 30)
+    out = []
+    for i in range(W):
+        prev = (ws[i - 1] & 3) << 30 if i > 0 else (c << 30)
+        out.append((ws[i] >> 2) | prev)
+    return out
 
 
-def _prefix(hi, lo, k, length):
-    """Packed (hi, lo) of the first `length` chars of length-k pairs —
-    static shift by 2*(k-length) (used with the static dummy unroll)."""
+def _prefix(ws, k, length):
+    """Keys of the first `length` chars of length-k keys — static left
+    shift by s = 2*(k-length) bits across words."""
     s = 2 * (k - length)
-    if s == 0:
-        return hi, lo
-    if s >= 64:
-        return jnp.zeros_like(hi), jnp.zeros_like(lo)
-    if s >= 32:
-        return (lo << (s - 32)) if s > 32 else lo, jnp.zeros_like(lo)
-    return (hi << s) | (lo >> (32 - s)), lo << s
+    W = len(ws)
+    wshift, bshift = s // 32, s % 32
+    out = []
+    for i in range(W):
+        j = i + wshift
+        cur = ws[j] if j < W else None
+        nxt = ws[j + 1] if j + 1 < W else None
+        if cur is None:
+            out.append(jnp.zeros_like(ws[i]))
+        elif bshift == 0:
+            out.append(cur)
+        else:
+            lopart = (nxt >> (32 - bshift)) if nxt is not None else jnp.zeros_like(cur)
+            out.append((cur << bshift) | lopart)
+    return out
 
 
-def _char_at(hi, lo, d):
+def _char_at(ws, d):
     """Char code at distance d (static) from the end."""
-    b = 62 - 2 * d
-    if b >= 32:
-        return ((hi >> (b - 32)) & 3).astype(jnp.int32)
-    return ((lo >> b) & 3).astype(jnp.int32)
+    wi, b = _word_bit_of_distance(d)
+    return ((ws[wi] >> b) & 3).astype(jnp.int32)
 
 
-def _member_sorted(a_hi, a_lo, a_n, q_hi, q_lo, q_valid):
+def _where_list(cond, ws_true, ws_false_val):
+    return [jnp.where(cond, w, ws_false_val) for w in ws_true]
+
+
+def _neq_prev(ws):
+    """Element != its left neighbor (rolled), OR-ed across words."""
+    out = None
+    for w in ws:
+        d = w != jnp.roll(w, 1)
+        out = d if out is None else (out | d)
+    return out
+
+
+def _scatter_list(ws, tgt, src_ws, size_fill):
+    return [w.at[tgt].set(s, mode="drop") for w, s in zip(ws, src_ws)]
+
+
+def _member_sorted(a_ws, a_n, q_ws, q_valid):
     """Membership of queries in a sorted-distinct list, via one merge sort.
 
-    a_*: sorted distinct keys compacted to the front (first a_n real).
-    q_*: query keys (any order), q_valid masks live queries.
+    a_ws: W-word sorted distinct keys compacted to the front (first a_n
+    real).  q_ws: query keys (any order), q_valid masks live queries.
     Returns bool [len(q)] — query key present among the first a_n a-keys.
     """
-    m_a, m_q = a_hi.shape[0], q_hi.shape[0]
+    W = len(a_ws)
+    m_a, m_q = a_ws[0].shape[0], q_ws[0].shape[0]
     in_a = jnp.arange(m_a) < a_n
-    hi = jnp.concatenate([jnp.where(in_a, a_hi, _SENT), jnp.where(q_valid, q_hi, _SENT)])
-    lo = jnp.concatenate([jnp.where(in_a, a_lo, _SENT), jnp.where(q_valid, q_lo, _SENT)])
-    tag = jnp.concatenate(
-        [jnp.zeros(m_a, jnp.uint32), jnp.ones(m_q, jnp.uint32)]
-    )
+    keys = [
+        jnp.concatenate([jnp.where(in_a, a_ws[i], _SENT), jnp.where(q_valid, q_ws[i], _SENT)])
+        for i in range(W)
+    ]
+    tag = jnp.concatenate([jnp.zeros(m_a, jnp.uint32), jnp.ones(m_q, jnp.uint32)])
     src = jnp.concatenate(
         [jnp.full(m_a, m_q, jnp.int32), jnp.arange(m_q, dtype=jnp.int32)]
     )
-    shi, slo, stag, ssrc = lax.sort((hi, lo, tag, src), num_keys=3)
+    sorted_ops = lax.sort((*keys, tag, src), num_keys=W + 1)
+    skeys, stag, ssrc = sorted_ops[:W], sorted_ops[W], sorted_ops[W + 1]
     # a query hits iff its equal-key RUN starts with an a-entry (a-keys are
     # distinct and sort first within a run; queries may repeat — e.g.
     # predecessor probes of k-mers sharing a (k-1)-prefix — so propagate
     # the run-start tag with a cummax instead of checking one neighbor)
     tot = m_a + m_q
     i = jnp.arange(tot, dtype=jnp.int32)
-    run_start = (i == 0) | (shi != jnp.roll(shi, 1)) | (slo != jnp.roll(slo, 1))
+    run_start = (i == 0) | _neq_prev(skeys)
     enc = jnp.where(run_start, 2 * i + (stag == 0), -1)
     first_is_a = (lax.cummax(enc) & 1) == 1
     hit_here = first_is_a & (stag == 1)
@@ -137,124 +191,95 @@ def _build_device_jit(codes, k, src_pad, streaming, n_words):
     Returns (rank_tbl [4*n_words, 2] i32, sgs_tbl [n_words, 2] i32,
     C i32 [4], n_nodes i32, n_kmers i32, n_src i32)."""
     Ntot = codes.shape[0]
+    W = _n_key_words(k)
     m = Ntot - k + 1
     u = (codes & 3).astype(jnp.uint32)
 
     # ---- pack windows (k static shifted passes, VPU) -------------------
-    hi = jnp.zeros(m, jnp.uint32)
-    lo = jnp.zeros(m, jnp.uint32)
+    ws = [jnp.zeros(m, jnp.uint32) for _ in range(W)]
     for j in range(k):
-        b = 64 - 2 * k + 2 * j  # bit of the char at window offset j
+        wi, b = _word_bit_of_distance(k - 1 - j)
         w = lax.dynamic_slice(u, (j,), (m,))
-        if b >= 32:
-            hi = hi | (w << (b - 32))
-        else:
-            lo = lo | (w << b)
+        ws[wi] = ws[wi] | (w << b)
     bad = (codes < 0).astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
     valid = (cs[k:] - cs[:-k]) == 0
-    hi = jnp.where(valid, hi, _SENT)
-    lo = jnp.where(valid, lo, _SENT)
+    ws = _where_list(valid, ws, _SENT)
 
     # ---- colex sort + dedup -------------------------------------------
-    shi, slo = lax.sort((hi, lo), num_keys=2)
+    sws = list(lax.sort(tuple(ws), num_keys=W))
     n_valid = jnp.sum(valid.astype(jnp.int32))
     idx = jnp.arange(m, dtype=jnp.int32)
-    newk = ((idx == 0) | (shi != jnp.roll(shi, 1)) | (slo != jnp.roll(slo, 1))) & (
-        idx < n_valid
-    )
+    newk = ((idx == 0) | _neq_prev(sws)) & (idx < n_valid)
     # compact distinct keys to the front (cumsum scatter, ops/search.py style)
     pos = jnp.cumsum(newk.astype(jnp.int32)) - 1
     n = jnp.where(m > 0, pos[-1] + 1, 0)  # distinct k-mer count
-    dv_hi = jnp.full(m, _SENT)
-    dv_lo = jnp.full(m, _SENT)
-    dv_hi = dv_hi.at[jnp.where(newk, pos, m)].set(shi, mode="drop")
-    dv_lo = dv_lo.at[jnp.where(newk, pos, m)].set(slo, mode="drop")
+    tgt = jnp.where(newk, pos, m)
+    dv = _scatter_list([jnp.full(m, _SENT) for _ in range(W)], tgt, sws, m)
     in_n = idx < n
 
     # ---- suffix groups among k-mers -----------------------------------
-    sf_hi, sf_lo = _drop_first(dv_hi, dv_lo, k)
-    gstart = ((idx == 0) | (sf_hi != jnp.roll(sf_hi, 1)) | (sf_lo != jnp.roll(sf_lo, 1))) & in_n
-    # group id per kmer column; rep suffix value broadcast over the group
-    gid = jnp.cumsum(gstart.astype(jnp.int32)) - 1
+    sf = _drop_first(dv, k)
+    gstart = ((idx == 0) | _neq_prev(sf)) & in_n
 
     # ---- out-edges: probe rep-suffix . c against the k-mer set --------
     kmer_bits = []
     for c in range(4):
-        y_hi, y_lo = _append_last(sf_hi, sf_lo, jnp.uint32(c))
-        present = _member_sorted(dv_hi, dv_lo, n, y_hi, y_lo, gstart)
-        # present at the group REP: every column of the group shares it
-        # only the rep column carries the edge bit (subset structure)
+        y = _append_last(sf, jnp.uint32(c))
+        present = _member_sorted(dv, n, y, gstart)
+        # only the rep column carries the group's edge bit (subset structure)
         kmer_bits.append(present & gstart)
 
     # ---- sources: k-mers whose (k-1)-predecessor suffix is absent -----
-    # predecessors = drop_last(kmer); membership against the distinct
-    # rep suffixes (compacted like dv)
     n_rep = jnp.sum(gstart.astype(jnp.int32))
     rpos = jnp.cumsum(gstart.astype(jnp.int32)) - 1
-    rs_hi = jnp.full(m, _SENT)
-    rs_lo = jnp.full(m, _SENT)
-    rs_hi = rs_hi.at[jnp.where(gstart, rpos, m)].set(sf_hi, mode="drop")
-    rs_lo = rs_lo.at[jnp.where(gstart, rpos, m)].set(sf_lo, mode="drop")
-    p_hi, p_lo = _drop_last(dv_hi, dv_lo)
-    has_pred = _member_sorted(rs_hi, rs_lo, n_rep, p_hi, p_lo, in_n)
+    rtgt = jnp.where(gstart, rpos, m)
+    rs = _scatter_list([jnp.full(m, _SENT) for _ in range(W)], rtgt, sf, m)
+    preds = _shift_left2(dv)
+    has_pred = _member_sorted(rs, n_rep, preds, in_n)
     is_src = in_n & ~has_pred
     n_src = jnp.sum(is_src.astype(jnp.int32))
     spos = jnp.cumsum(is_src.astype(jnp.int32)) - 1
-    src_hi = jnp.full(src_pad, _SENT)
-    src_lo = jnp.full(src_pad, _SENT)
-    src_hi = src_hi.at[jnp.where(is_src, spos, src_pad)].set(dv_hi, mode="drop")
-    src_lo = src_lo.at[jnp.where(is_src, spos, src_pad)].set(dv_lo, mode="drop")
+    stgt = jnp.where(is_src, spos, src_pad)
+    src = _scatter_list([jnp.full(src_pad, _SENT) for _ in range(W)], stgt, dv, src_pad)
     src_ok = jnp.arange(src_pad) < n_src
 
     # ---- dummy prefixes (static unroll over lengths k-1..0) -----------
     D = src_pad * k + 1
-    parts_hi, parts_lo, parts_len, parts_edge, parts_ok = [], [], [], [], []
+    parts = [[] for _ in range(W)]
+    parts_len, parts_edge, parts_ok = [], [], []
     for l in range(k - 1, -1, -1):
-        ph, pl = _prefix(src_hi, src_lo, k, l)
-        parts_hi.append(ph)
-        parts_lo.append(pl)
+        pw = _prefix(src, k, l)
+        for i in range(W):
+            parts[i].append(pw[i])
         parts_len.append(jnp.full(src_pad, l, jnp.int32))
         # the edge char = source char at index l = distance k-1-l from end
-        parts_edge.append(_char_at(src_hi, src_lo, k - 1 - l))
+        parts_edge.append(_char_at(src, k - 1 - l))
         parts_ok.append(src_ok)
     # + the root (always exists, initially edge-less)
-    parts_hi.append(jnp.zeros(1, jnp.uint32))
-    parts_lo.append(jnp.zeros(1, jnp.uint32))
+    for i in range(W):
+        parts[i].append(jnp.zeros(1, jnp.uint32))
     parts_len.append(jnp.zeros(1, jnp.int32))
     parts_edge.append(jnp.full(1, -1, jnp.int32))
     parts_ok.append(jnp.ones(1, bool))
-    dd_hi = jnp.concatenate(parts_hi)
-    dd_lo = jnp.concatenate(parts_lo)
+    dd = [jnp.concatenate(p) for p in parts]
     dd_len = jnp.concatenate(parts_len)
     dd_edge = jnp.concatenate(parts_edge)
     dd_ok = jnp.concatenate(parts_ok)
-    dd_hi = jnp.where(dd_ok, dd_hi, _SENT)
-    dd_lo = jnp.where(dd_ok, dd_lo, _SENT)
-    dd_lenk = jnp.where(dd_ok, dd_len.astype(jnp.uint32), jnp.uint32(255))
+    dd = _where_list(dd_ok, dd, _SENT)
+    dd_lenk = jnp.where(dd_ok, dd_len.astype(jnp.uint32), jnp.uint32(0xFFFF))
 
     # ---- dedup dummies by (val, len), OR-ing edges --------------------
-    sd_hi, sd_lo, sd_len, sd_edge = lax.sort(
-        (dd_hi, dd_lo, dd_lenk, dd_edge), num_keys=3
-    )
+    sorted_d = lax.sort((*dd, dd_lenk, dd_edge), num_keys=W + 1)
+    sd, sd_len, sd_edge = list(sorted_d[:W]), sorted_d[W], sorted_d[W + 1]
     di = jnp.arange(D, dtype=jnp.int32)
     n_dd = jnp.sum(dd_ok.astype(jnp.int32))
-    dnew = (
-        (di == 0)
-        | (sd_hi != jnp.roll(sd_hi, 1))
-        | (sd_lo != jnp.roll(sd_lo, 1))
-        | (sd_len != jnp.roll(sd_len, 1))
-    ) & (di < n_dd)
+    dnew = ((di == 0) | _neq_prev(sd) | (sd_len != jnp.roll(sd_len, 1))) & (di < n_dd)
     dgid = jnp.cumsum(dnew.astype(jnp.int32)) - 1
-    n_d = jnp.where(D > 0, jnp.maximum(dgid[-1] + 1, 0), 0)
-    n_d = jnp.where(n_dd > 0, n_d, 0)
-    du_hi = jnp.full(D, _SENT)
-    du_lo = jnp.full(D, _SENT)
-    du_len = jnp.full(D, jnp.uint32(255))
-    tgt = jnp.where(dnew, dgid, D)
-    du_hi = du_hi.at[tgt].set(sd_hi, mode="drop")
-    du_lo = du_lo.at[tgt].set(sd_lo, mode="drop")
-    du_len = du_len.at[tgt].set(sd_len, mode="drop")
+    n_d = jnp.where(n_dd > 0, jnp.maximum(dgid[-1] + 1, 0), 0)
+    dtgt = jnp.where(dnew, dgid, D)
+    du = _scatter_list([jnp.full(D, _SENT) for _ in range(W)], dtgt, sd, D)
+    du_len = jnp.full(D, jnp.uint32(0xFFFF)).at[dtgt].set(sd_len, mode="drop")
     du_bits = []
     for c in range(4):
         bc = jnp.zeros(D, dtype=bool)
@@ -264,37 +289,28 @@ def _build_device_jit(codes, k, src_pad, streaming, n_words):
 
     # ---- final merge of dummies + k-mers ------------------------------
     T = m + D
-    a_hi = jnp.concatenate([du_hi, dv_hi])
-    a_lo = jnp.concatenate([du_lo, dv_lo])
-    a_len = jnp.concatenate(
-        [du_len, jnp.where(in_n, jnp.uint32(k), jnp.uint32(255))]
-    )
+    a_ws = [jnp.concatenate([du[i], dv[i]]) for i in range(W)]
+    a_len = jnp.concatenate([du_len, jnp.where(in_n, jnp.uint32(k), jnp.uint32(0xFFFF))])
     a_bits = [
         jnp.concatenate([du_bits[c], kmer_bits[c]]).astype(jnp.uint32)
         for c in range(4)
     ]
-    nm_hi, nm_lo, nm_len, b0, b1, b2, b3 = lax.sort(
-        (a_hi, a_lo, a_len, a_bits[0], a_bits[1], a_bits[2], a_bits[3]),
-        num_keys=3,
-    )
+    merged = lax.sort((*a_ws, a_len, *a_bits), num_keys=W + 1)
+    nm = list(merged[:W])
+    nm_len = merged[W]
+    b4 = merged[W + 1 : W + 5]
     n_nodes = n + n_d
     ti = jnp.arange(T, dtype=jnp.int32)
     node_ok = ti < n_nodes
-    bits = [(b.astype(bool) & node_ok) for b in (b0, b1, b2, b3)]
+    bits = [(b.astype(bool) & node_ok) for b in b4]
 
     # ---- streaming support over all nodes -----------------------------
     if streaming:
         full = nm_len == k
-        kh, kl = _drop_first(nm_hi, nm_lo, k)
-        sh_hi = jnp.where(full, kh, nm_hi)
-        sh_lo = jnp.where(full, kl, nm_lo)
+        kdrop = _drop_first(nm, k)
+        sh = [jnp.where(full, kdrop[i], nm[i]) for i in range(W)]
         sh_len = jnp.where(full, jnp.uint32(k - 1), nm_len)
-        sgs = (
-            (ti == 0)
-            | (sh_hi != jnp.roll(sh_hi, 1))
-            | (sh_lo != jnp.roll(sh_lo, 1))
-            | (sh_len != jnp.roll(sh_len, 1))
-        ) & node_ok
+        sgs = ((ti == 0) | _neq_prev(sh) | (sh_len != jnp.roll(sh_len, 1))) & node_ok
     else:
         sgs = jnp.zeros(T, dtype=bool)
 
@@ -330,8 +346,8 @@ def prepare_device_codes(
     tunnel upload)."""
     from ..utils.dna import encode
 
-    if k > 32:
-        raise ValueError("device construction supports k <= 32")
+    if k > 255:
+        raise ValueError("k > 255 exceeds the reference's MAX_KMER_LENGTH ceiling")
     parts = []
     for s in seqs:
         codes = s if isinstance(s, np.ndarray) else encode(s)
@@ -360,10 +376,12 @@ def build_sbwt_device(
 ):
     """Build a plain-matrix MatrixIndex ON DEVICE from sequences.
 
-    seqs: list of str / int8 code arrays.  k <= 32.  Construction runs as
-    one compiled program (see module docstring); input length is padded to
-    `pad_quantum` so repeat builds of similar sizes reuse the compile.
-    `prepared` (from prepare_device_codes) skips the flatten + upload.
+    seqs: list of str / int8 code arrays; any k <= 255 (key width is
+    ceil(k/16) uint32 words, a static compile parameter).  Construction
+    runs as one compiled program (see module docstring); input length is
+    padded to `pad_quantum` so repeat builds of similar sizes reuse the
+    compile.  `prepared` (from prepare_device_codes) skips the flatten +
+    upload.
 
     Raises ValueError when the source budget overflows (inputs with more
     predecessor-less k-mers than src_pad — extremely fragmented inputs);

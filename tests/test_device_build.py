@@ -53,6 +53,10 @@ CASES = [
     (lambda rng: ["AAACCACACCCACAACACCC"], 5),
     # k = 32 boundary (all chars in the top-aligned word)
     (lambda rng: ["".join(rng.choice(list("ACGT"), size=400))], 32),
+    # wide keys: k > 32 (W = 3..16 uint32 words)
+    (lambda rng: ["".join(rng.choice(list("ACGT"), size=500))], 33),
+    (lambda rng: ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(2)], 51),
+    (lambda rng: ["".join(rng.choice(list("ACGT"), size=600))], 255),
     # many tiny reads -> many sources
     (lambda rng: ["".join(rng.choice(list("ACGT"), size=20)) for _ in range(60)], 8),
 ]
