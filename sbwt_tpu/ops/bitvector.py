@@ -63,17 +63,31 @@ def rank_table_host(bools: np.ndarray) -> np.ndarray:
     return rank_table_from_words(pack_bits_host(bools))
 
 
-def rank_table_from_words_wide(words: np.ndarray) -> np.ndarray:
+def rank_table_from_words_wide(
+    words: np.ndarray, window: int = 1 << 24
+) -> np.ndarray:
     """64-bit-rank table for bit vectors past 2^31 set bits: int32 [W, 3]
     rows (bits word, cum low 32, cum high 32).  One fused 12-byte gather
     still serves a full rank query (the narrow layout's design goal); the
-    engine reassembles the int64 count on device (models/wide.py)."""
-    pops = popcount_words_host(words)
-    cum = np.concatenate([[0], np.cumsum(pops)[:-1]])
-    tbl = np.empty((len(words), 3), dtype=np.int32)
+    engine reassembles the int64 count on device (models/wide.py).
+
+    Windowed with a running total: whole-row int64 popcount/cumsum
+    transients would cost 8 bytes/word each — GBs at the 4.3e9-column
+    scale this layout exists for."""
+    W = len(words)
+    tbl = np.empty((W, 3), dtype=np.int32)
     tbl[:, 0] = words.view(np.int32)
-    tbl[:, 1] = (cum & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-    tbl[:, 2] = (cum >> 32).astype(np.int32)
+    total = np.int64(0)
+    for w0 in range(0, W, window):
+        w1 = min(w0 + window, W)
+        pops = popcount_words_host(words[w0:w1])
+        cum = np.cumsum(pops, dtype=np.int64)
+        excl = np.empty(w1 - w0, dtype=np.int64)
+        excl[0] = total
+        excl[1:] = total + cum[:-1]
+        tbl[w0:w1, 1] = (excl & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        tbl[w0:w1, 2] = (excl >> 32).astype(np.int32)
+        total = total + cum[-1] if len(cum) else total
     return tbl
 
 
