@@ -74,6 +74,12 @@ class TurboIndex:
     def pair_tbl(self):  # backwards-compatible alias (arity-2 table)
         return self.tbl
 
+    def tbl_row(self, idx):
+        """Row(s) of the successor table.  The tensor-parallel view
+        (parallel/sharded.py TPTurboView) overrides this with a masked
+        local gather + psum over the model axis."""
+        return self.tbl[idx]
+
 
 @jax.jit
 def _pack_bits_u32(b):
@@ -205,7 +211,7 @@ def _step(turbo, col, cs, vs):
     idx = jnp.clip(col, 0)
     if A == 1:
         # [n, 4] row layout: one 16-byte row gather + VPU select by char
-        row = turbo.tbl[idx]
+        row = turbo.tbl_row(idx)
         c = cs[0] & 3
         s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
         s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
@@ -213,7 +219,7 @@ def _step(turbo, col, cs, vs):
         return [jnp.where((col >= 0) & vs[0], s, -1)]
     for c in cs:
         idx = idx * 4 + (c & 3)
-    row = turbo.tbl[idx]
+    row = turbo.tbl_row(idx)
     outs = []
     prev_ok = col >= 0
     for i in range(A):
@@ -358,6 +364,7 @@ def turbo_streaming_search(
     lengths=None,
     chunk_lanes=None,
     chunk_slow=None,
+    sync_axes=None,
 ):
     """Exact streaming search via the successor table.
 
@@ -373,6 +380,12 @@ def turbo_streaming_search(
     actual counts.
     """
     from .search import compact_indices, search_batch
+
+    def _sync(c):
+        # under shard_map with a model-sharded table every gather is a
+        # psum; all devices must run every collective the same number of
+        # times, so dynamic trip counts are maximized over the mesh
+        return lax.pmax(c, sync_axes) if sync_axes else c
 
     B, L = codes.shape
     k, p = turbo.k, turbo.precalc_k
@@ -423,7 +436,7 @@ def turbo_streaming_search(
             res = search_batch(index, win)
             return a0.at[sel].set(res, mode="drop")
 
-    n0 = (n_slow0 + c0 - 1) // c0
+    n0 = _sync((n_slow0 + c0 - 1) // c0)
     ans0 = lax.fori_loop(0, n0, body0, ans0)
 
     # ---- chain: A positions per gather ---------------------------------
@@ -527,10 +540,10 @@ def turbo_streaming_search(
                 tgt = jnp.where(s2 < Lw, sel[s2c], Cn * P)
                 return nr2.ravel().at[tgt].set(res, mode="drop").reshape(Cn, P)
 
-            n2 = (sc2 + Sw - 1) // Sw
+            n2 = _sync((sc2 + Sw - 1) // Sw)
             return lax.fori_loop(0, n2, slow_body, nr)
 
-        n_lt = (lc + Lw - 1) // Lw
+        n_lt = _sync((lc + Lw - 1) // Lw)
         new_rows = lax.fori_loop(0, n_lt, live_body, new_rows)
         return a.at[lanes].set(new_rows, mode="drop")
 
@@ -571,7 +584,7 @@ def turbo_streaming_search(
                 col = _walk_rem(turbo, l0f[selc], char_fn, rem)
                 return nr.ravel().at[sel].set(col, mode="drop").reshape(Cn, P)
 
-            n_wt = (wc + Ww - 1) // Ww
+            n_wt = _sync((wc + Ww - 1) // Ww)
             new_rows = lax.fori_loop(0, n_wt, walk_body, new_rows)
 
             # exact LF fallback for non-singleton seeds (rare)
@@ -583,7 +596,7 @@ def turbo_streaming_search(
                 res = _lf_from_seeds(index, l0f[selc], r0f[selc], pw[selc], rem)
                 return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
-            n_st = (sc + cs_ - 1) // cs_
+            n_st = _sync((sc + cs_ - 1) // cs_)
             new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
         else:
             # wide windows (k - p > 32): lockstep masked walk + full
@@ -606,12 +619,12 @@ def turbo_streaming_search(
                 res = search_batch(index, win)
                 return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
-            n_st = (sc + cs_ - 1) // cs_
+            n_st = _sync((sc + cs_ - 1) // cs_)
             new_rows = lax.fori_loop(0, n_st, slow_body, new_rows)
 
         return a.at[lanes].set(new_rows, mode="drop")
 
-    n_lane_iters = (n_dirty + Cn - 1) // Cn
+    n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
     body = lane_body_bitmap if (use_pw and turbo.seed_bits is not None) else lane_body
     ans = lax.fori_loop(0, n_lane_iters, body, ans)
 

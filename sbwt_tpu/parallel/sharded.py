@@ -229,6 +229,110 @@ def tp_search(index: MatrixIndex, codes, mesh: Mesh):
     return fn(sharded.rank_tbl, sharded.sgs_tbl, sharded.C, sharded.precalc, codes)
 
 
+@dataclass
+class TPTurboView:
+    """Per-device view of a row-sharded turbo successor table inside
+    shard_map: same interface as ops.turbo.TurboIndex (tbl_row + the
+    fields the engine reads), with out-of-shard row gathers contributing
+    zero and a psum over `model` reassembling the row.  The seed bitmap
+    and precalc stay replicated (8.4 MB / 537 MB vs the multi-GB table —
+    sharding THE TABLE is what drops per-device HBM with mesh size)."""
+
+    tbl_local: jax.Array  # int32 [rows_per_shard, w]
+    precalc: jax.Array
+    C: jax.Array
+    seed_bits: jax.Array | None
+    n_nodes: int
+    k: int
+    precalc_k: int
+    arity: int
+    axis: str = "model"
+
+    def tbl_row(self, idx):
+        shard = lax.axis_index(self.axis).astype(jnp.int32)
+        rows = self.tbl_local.shape[0]
+        local = idx - shard * rows
+        in_range = (local >= 0) & (local < rows)
+        row = self.tbl_local[jnp.clip(local, 0, rows - 1)]
+        row = jnp.where(in_range[..., None], row, 0)
+        return lax.psum(row, self.axis)
+
+
+def shard_turbo_rows(turbo, mesh: Mesh):
+    """Place the turbo successor table row-sharded over `model`; the
+    small leaves (precalc, C, seed_bits) replicated."""
+    import dataclasses as _dc
+
+    n_model = mesh.shape["model"]
+    row_shard = NamedSharding(mesh, P("model", None))
+    repl = NamedSharding(mesh, P())
+    return _dc.replace(
+        turbo,
+        tbl=jax.device_put(_pad_rows(turbo.tbl, n_model), row_shard),
+        precalc=jax.device_put(turbo.precalc, repl),
+        C=jax.device_put(turbo.C, repl),
+        seed_bits=(
+            jax.device_put(turbo.seed_bits, repl)
+            if turbo.seed_bits is not None
+            else None
+        ),
+    )
+
+
+def tp_turbo_streaming_search(turbo, index: MatrixIndex, codes, lengths, mesh: Mesh):
+    """Turbo streaming search with the SUCCESSOR TABLE row-sharded over
+    `model` and reads sharded over `data` — for indexes whose turbo table
+    exceeds one device's HBM (per-device table cost drops linearly with
+    the model-axis size).  The base index (rank tables, ~5 B/column) and
+    the precalc/seed-bitmap stay replicated; every successor gather
+    becomes a masked local gather + psum.  Dynamic trip counts are
+    pmax-synchronized over the whole mesh so every device runs every
+    collective."""
+    from ..ops.turbo import turbo_streaming_search
+
+    sharded_t = shard_turbo_rows(turbo, mesh)
+    repl = NamedSharding(mesh, P())
+    index = jax.tree.map(lambda x: jax.device_put(x, repl), index)
+
+    def body(tbl_local, precalc, C, seed_bits, index_l, codes_l, lengths_l):
+        view = TPTurboView(
+            tbl_local=tbl_local,
+            precalc=precalc,
+            C=C,
+            seed_bits=seed_bits,
+            n_nodes=turbo.n_nodes,
+            k=turbo.k,
+            precalc_k=turbo.precalc_k,
+            arity=turbo.arity,
+        )
+        return turbo_streaming_search(
+            view, index_l, codes_l, lengths_l, sync_axes=("data", "model")
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("model", None),
+                P(),
+                P(),
+                P(),
+                P(),
+                P("data", None),
+                P("data"),
+            ),
+            out_specs=P("data", None),
+        )
+    )
+    codes = jax.device_put(codes, NamedSharding(mesh, P("data", None)))
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    return fn(
+        sharded_t.tbl, sharded_t.precalc, sharded_t.C, sharded_t.seed_bits,
+        index, codes, lengths,
+    )
+
+
 def tp_streaming_search(index: MatrixIndex, codes, lengths, mesh: Mesh):
     """Streaming search with row-sharded index + data-sharded reads.
 

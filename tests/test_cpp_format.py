@@ -375,10 +375,11 @@ _WIDE_ROUNDTRIP = textwrap.dedent(
     """
     import resource, sys
     import numpy as np
-    # 24 GB address-space cap: the packed save/load path fits (packed rows
-    # 2.7 GB + cpu-device rank tables ~7 GB); a bool-matrix transient
-    # (4 rows x 4.3e9 cols = 17 GB) on top would blow it.
-    cap = 24 << 30
+    # 30 GB address-space cap: the packed save/load path peaks ~14 GB
+    # (packed rows 2.7 GB + cpu-backend rank tables ~8 GB + windowed
+    # build transients); a bool-matrix path would add 17 GB of bit rows
+    # + 4.3 GB of sgs bools on top (> 34 GB) and cannot fit.
+    cap = 30 << 30
     resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
     import jax
     jax.config.update("jax_platforms", "cpu")

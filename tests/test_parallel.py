@@ -113,3 +113,31 @@ def test_shard_index_rows_idempotent(sbwt):
     assert sharded.is_row_sharded(s1, mesh)
     s2 = sharded.shard_index_rows(s1, mesh)
     assert s2 is s1
+
+
+def test_tp_turbo_streaming_matches_reference(sbwt, batch):
+    """Row-sharded turbo successor table (TPTurboView): per-device table
+    cost drops with the model-axis size; answers must equal the
+    single-device turbo engine bit for bit."""
+    import jax
+
+    from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+    from sbwt_tpu.parallel import sharded
+
+    codes, lengths = batch
+    ref_turbo = build_turbo(sbwt.device_index, arity=1)
+    ref = np.asarray(
+        turbo_streaming_jit(ref_turbo, sbwt.device_index, codes, lengths)
+    )
+    for n_data, n_model in [(4, 2), (2, 4)]:
+        mesh = sharded.make_mesh(n_data=n_data, n_model=n_model)
+        got = sharded.tp_turbo_streaming_search(
+            ref_turbo, sbwt.device_index, codes, lengths, mesh
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=f"{n_data}x{n_model}")
+    # arity 3 as well (flat table layout)
+    t3 = build_turbo(sbwt.device_index, arity=3)
+    ref3 = np.asarray(turbo_streaming_jit(t3, sbwt.device_index, codes, lengths))
+    mesh = sharded.make_mesh(n_data=2, n_model=4)
+    got3 = sharded.tp_turbo_streaming_search(t3, sbwt.device_index, codes, lengths, mesh)
+    np.testing.assert_array_equal(np.asarray(got3), ref3)
