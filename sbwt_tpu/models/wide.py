@@ -121,9 +121,12 @@ def from_packed_rows_wide(
     _require_x64()
     W = n // 32 + 1
     assert row_words.shape == (4, W), (row_words.shape, W)
-    rank_tbl = np.concatenate(
-        [bv.rank_table_from_words_wide(row_words[c]) for c in range(4)], axis=0
-    )
+    # fill the fused table row-band by row-band: a concatenate of four
+    # per-character tables would transiently double the 6 GB table at the
+    # 4.3e9-column scale this engine exists for
+    rank_tbl = np.empty((4 * W, 3), dtype=np.int32)
+    for c in range(4):
+        rank_tbl[c * W : (c + 1) * W] = bv.rank_table_from_words_wide(row_words[c])
     has_streaming = sgs_words is not None
     sgs_tbl = matrix.sgs_pair_table(sgs_words, W)
     C = matrix.c_array_from_rows(row_words, np.int64)
