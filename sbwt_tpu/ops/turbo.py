@@ -49,6 +49,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Transient marker for restart positions whose precalc seed is a
+# non-singleton interval: the patch pass writes it in place of an answer
+# and a pooled second-stage LF pass replaces every occurrence before
+# turbo_streaming_search returns (real answers are always >= -1).
+SLOW_SENTINEL = -2
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -64,10 +70,14 @@ class TurboIndex:
     k: int
     precalc_k: int
     arity: int = 2
-    # 1 bit per p-mer: precalc interval non-empty.  4^p/8 bytes (8.4 MB at
-    # p=13) — a miss-regime accelerator: restart positions are pre-killed
-    # by one gather from this tiny table instead of an 8-byte gather each
-    # from the 537 MB precalc table (94% of random k-mers die here).
+    # Seed-liveness PAIR table: 2-bit entries indexed by (p+1)-mer m
+    # (16 entries per uint32 word).  bit0 = precalc interval of the low
+    # p-mer (m mod 4^p) non-empty; bit1 = same for the shifted p-mer
+    # (m >> 2).  Because consecutive read positions' p-mers are exactly
+    # that shift pair, ONE gather from this table kills/keeps TWO restart
+    # positions (~94% of random positions die here at p=13, never touching
+    # the 537 MB precalc table).  4^(p+1)/4 bytes = 67 MB at p=13 — still
+    # inside the <=128 MB fast-gather tier (docs/DESIGN.md §4a).
     seed_bits: jax.Array | None = None
 
     @property
@@ -81,14 +91,38 @@ class TurboIndex:
         return self.tbl[idx]
 
 
-@jax.jit
-def _pack_bits_u32(b):
-    """bool [n] -> uint32 [ceil(n/32)] little-bit-order words, on device."""
-    n = b.shape[0]
-    pad = (-n) % 32
-    b = jnp.pad(b, (0, pad))
-    w = b.reshape(-1, 32).astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+def _pack_2bit_u32(v):
+    """uint32 [n] with values 0..3 -> packed uint32 [ceil(n/16)] words
+    (entry i at bits [2*(i%16), 2*(i%16)+1] of word i//16), on device."""
+    n = v.shape[0]
+    pad = (-n) % 16
+    v = jnp.pad(v, (0, pad))
+    w = v.reshape(-1, 16) << (2 * jnp.arange(16, dtype=jnp.uint32))
     return w.sum(axis=1, dtype=jnp.uint32)
+
+
+@jax.jit
+def _pack_seed_pair_bits(live):
+    """Pair-liveness table from live bool [4^p]: packed 2-bit entries over
+    all (p+1)-mers m = pidx + c_last * 4^p (chars least-significant-first,
+    matching _pidx_vwin): bit0 = live[m mod 4^p], bit1 = live[m >> 2].
+
+    Built in 4 chunks over the top character so transients stay ~O(4^p)."""
+    q = live.shape[0]  # 4^p
+    if q < 16 or q % 16:
+        l = jnp.arange(4 * q, dtype=jnp.int32)
+        v = live[l & (q - 1)].astype(jnp.uint32) | (
+            live[l >> 2].astype(jnp.uint32) << 1
+        )
+        return _pack_2bit_u32(v)
+    parts = []
+    for h in range(4):
+        b0 = live.astype(jnp.uint32)
+        # (h*4^p + l) >> 2 = h*4^(p-1) + (l >> 2): the h-th quarter of
+        # `live`, each entry repeated 4x
+        b1 = jnp.repeat(live[h * (q // 4) : (h + 1) * (q // 4)], 4).astype(jnp.uint32)
+        parts.append(_pack_2bit_u32(b0 | (b1 << 1)))
+    return jnp.concatenate(parts)
 
 
 def _succ1(index):
@@ -183,8 +217,11 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
     else:
         chunk = 1 << 20 if arity == 2 else 1 << 18
         tbl = _build_tbl(index, arity, chunk)
+    # p <= 14 keeps the (p+1)-mer pair index inside int32 (4^15 = 2^30)
     seed_bits = (
-        _pack_bits_u32(index.precalc[:, 0] >= 0) if index.precalc_k > 0 else None
+        _pack_seed_pair_bits(index.precalc[:, 0] >= 0)
+        if 0 < index.precalc_k <= 14
+        else None
     )
     return TurboIndex(
         tbl=tbl,
@@ -484,7 +521,7 @@ def turbo_streaming_search(
     cs_ = _clamp_pow2(Cn * P // 64, 8192, 1 << 16) if chunk_slow is None else chunk_slow
     cs_ = min(cs_, Cn * P)
     Ww = min(_clamp_pow2(Cn * P // 16, 8192, 1 << 18), Cn * P)  # walk-chunk width
-    Lw = min(_clamp_pow2(Cn * P // 8, 8192, 1 << 18), Cn * P)  # live-chunk width
+    Lw = min(_clamp_pow2(Cn * P // 8, 8192, 1 << 19), Cn * P)  # live-chunk width
 
     def lane_body_bitmap(i, a):
         """Patch pass with the seed bitmap (the miss-regime fast path):
@@ -496,15 +533,22 @@ def turbo_streaming_search(
         rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
         un = unresolved[safe] & (lanes[:, None] < B)  # [Cn, P]
         pidx, vwin = _pidx_vwin(turbo, rows, P)
-        w = turbo.seed_bits[jnp.clip(pidx >> 5, 0)]
-        seed_live = ((w >> (pidx & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1
+        # pair lookup: m = pidx[i] + c_{i+p}*4^p for EVEN positions i
+        # answers liveness of positions i (bit0) and i+1 (bit1) with one
+        # gather — half the gathers of a per-position bitmap.
+        Pe = (P + 1) // 2
+        cpair = (jnp.clip(rows[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
+        m = pidx[:, ::2] + cpair * jnp.int32(4**p)  # [Cn, Pe]
+        w = turbo.seed_bits[jnp.clip(m >> 4, 0)]
+        b = (w >> (2 * (m & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+        live_pair = jnp.stack([(b & 1) == 1, (b >> 1) == 1], axis=-1)
+        seed_live = live_pair.reshape(Cn, 2 * Pe)[:, :P]
         alive = seed_live & vwin
         # dead unresolved positions answer -1 outright
         new_rows = jnp.where(un & ~alive, -1, a[safe])
         pw = _pack_rem(rows, P, k, p).reshape(Cn * P, 2)
         pidx_f = pidx.ravel()
         lw_list, lc = compact_indices(un & alive)
-        Sw = min(cs_, Lw)
 
         def live_body(t, nr):
             sel = lax.dynamic_slice(lw_list, (t * Lw,), (Lw,))  # sentinel Cn*P
@@ -524,24 +568,14 @@ def turbo_streaming_search(
             col = _walk_rem(
                 turbo, jnp.where(singleton & ok_sel, l0s, -1), char_fn, rem
             )
-            nr = (
-                nr.ravel()
-                .at[jnp.where(singleton, sel, Cn * P)]
-                .set(col, mode="drop")
-                .reshape(Cn, P)
-            )
-            # non-singleton seeds: exact LF, sub-compacted (~0.2% at p=13)
-            sw2, sc2 = compact_indices(~singleton & ok_sel)
-
-            def slow_body(u, nr2):
-                s2 = lax.dynamic_slice(sw2, (u * Sw,), (Sw,))  # into sel
-                s2c = jnp.clip(s2, 0, Lw - 1)
-                res = _lf_from_seeds(index, l0s[s2c], r0s[s2c], pws[s2c], rem)
-                tgt = jnp.where(s2 < Lw, sel[s2c], Cn * P)
-                return nr2.ravel().at[tgt].set(res, mode="drop").reshape(Cn, P)
-
-            n2 = _sync((sc2 + Sw - 1) // Sw)
-            return lax.fori_loop(0, n2, slow_body, nr)
+            # non-singleton seeds (~0.2% of live positions at p=13) take the
+            # SLOW sentinel (-2): resolving them here would nest a tiny
+            # latency-bound LF sub-loop (34 dependent gathers at <=64K
+            # lanes) inside every live trip — at hit0 that's ~100
+            # sequential sub-trips.  A second-stage pass below pools them
+            # across ALL lane trips and resolves them in a few wide chunks.
+            res = jnp.where(singleton, col, SLOW_SENTINEL)
+            return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
         n_lt = _sync((lc + Lw - 1) // Lw)
         new_rows = lax.fori_loop(0, n_lt, live_body, new_rows)
@@ -625,8 +659,47 @@ def turbo_streaming_search(
         return a.at[lanes].set(new_rows, mode="drop")
 
     n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
-    body = lane_body_bitmap if (use_pw and turbo.seed_bits is not None) else lane_body
+    use_bitmap = use_pw and turbo.seed_bits is not None
+    body = lane_body_bitmap if use_bitmap else lane_body
     ans = lax.fori_loop(0, n_lane_iters, body, ans)
+
+    if use_bitmap:
+        # ---- second stage: non-singleton seeds, pooled ------------------
+        # The patch pass marked them SLOW_SENTINEL instead of nesting a
+        # narrow LF sub-loop per trip; here they are compacted by LANE
+        # (memory-light: no [B*P] work list) and resolved with the exact
+        # packed-window LF in a few wide chunks.  ~0.17% of random
+        # positions at p=13, so even all-miss batches take a handful of
+        # trips instead of ~trips x live-trips sequential sub-loops.
+        slow_lane = jnp.any(ans == SLOW_SENTINEL, axis=1)
+        sl_work, n_sl = compact_indices(slow_lane)
+        Cs2 = min(_clamp_pow2(B // 32, 8192, 1 << 17), B)
+        Sw2 = min(1 << 16, Cs2 * P)
+
+        def slow_lane_body(i, a):
+            lanes = lax.dynamic_slice(sl_work, (i * Cs2,), (Cs2,))  # sentinel B
+            safe = jnp.clip(lanes, 0, B - 1)
+            arows = a[safe]  # [Cs2, P]
+            rows = codes[safe].astype(jnp.int32)  # [Cs2, L]
+            m = (arows == SLOW_SENTINEL) & (lanes[:, None] < B)
+            spidx, _ = _pidx_vwin(turbo, rows, P)
+            spidx_f = spidx.ravel()
+            spw = _pack_rem(rows, P, k, p).reshape(Cs2 * P, 2)
+            w_list, wc = compact_indices(m)
+
+            def sb(t, nr):
+                sel = lax.dynamic_slice(w_list, (t * Sw2,), (Sw2,))
+                selc = jnp.clip(sel, 0, Cs2 * P - 1)
+                seed = turbo.precalc[spidx_f[selc]]
+                res = _lf_from_seeds(index, seed[:, 0], seed[:, 1], spw[selc], rem)
+                return nr.ravel().at[sel].set(res, mode="drop").reshape(Cs2, P)
+
+            n2 = _sync((wc + Sw2 - 1) // Sw2)
+            nr = lax.fori_loop(0, n2, sb, arows)
+            return a.at[lanes].set(nr, mode="drop")
+
+        n_sl_iters = _sync((n_sl + Cs2 - 1) // Cs2)
+        ans = lax.fori_loop(0, n_sl_iters, slow_lane_body, ans)
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)

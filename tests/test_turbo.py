@@ -134,3 +134,44 @@ def test_turbo_deep_slow_path(arity):
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_seed_pair_bits_encoding():
+    """Pair table vs naive per-(p+1)-mer construction, both q%16==0 and
+    the small-q fallback path."""
+    from sbwt_tpu.ops.turbo import _pack_seed_pair_bits
+
+    rng = np.random.default_rng(9)
+    for p in (1, 2, 3):
+        q = 4**p
+        live = rng.random(q) < 0.4
+        packed = np.asarray(_pack_seed_pair_bits(jnp.asarray(live)))
+        for m in range(4 * q):
+            want = int(live[m % q]) | (int(live[m >> 2]) << 1)
+            got = (packed[m >> 4] >> (2 * (m & 15))) & 3
+            assert got == want, (p, m)
+
+
+def test_turbo_streaming_miss_heavy_multitrip():
+    """All-miss batch big enough to force multiple dirty-lane trips and
+    the pooled slow-sentinel pass; output must still equal the LF engine
+    and contain no sentinel."""
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=3000))]
+    sb = _mk(seqs, 14, 5)
+    turbo = build_turbo(sb.device_index, arity=3)
+    n, L = 600, 40
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int32)
+    # a few genomic reads mixed in
+    for i in range(0, n, 50):
+        s = seqs[0][i : i + L]
+        codes[i, : len(s)] = encode_query(s)
+    lengths = np.full(n, L, dtype=np.int32)
+    ref = sb.streaming_search_batch(codes, lengths)
+    got = np.asarray(
+        turbo_streaming_jit(
+            turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    assert (got >= -1).all()
+    np.testing.assert_array_equal(got, ref)
