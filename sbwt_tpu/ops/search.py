@@ -29,6 +29,11 @@ from jax import lax
 
 _ONE = np.uint32(1)
 
+# Transient patch-stage marker (real answers are always >= -1): stage A
+# of the streaming patch writes it for unresolved positions whose precalc
+# seed is live; stage B replaces every occurrence before returning.
+STAGE_SENTINEL = -2
+
 
 def compact_indices(mask):
     """Indices of True entries, compacted to the front; tail filled with
@@ -178,14 +183,22 @@ def _patch_chunk(total: int) -> int:
 
 
 def streaming_search(index, codes, lengths=None, chunk=None, sync_axes=None):
-    """Exact streaming search: chain + dynamically-sized full-search patch.
+    """Exact streaming search: chain + staged dynamically-sized patch.
 
     codes: int [B, L] (pad with -1); lengths: optional int [B] actual read
     lengths.  Returns int32 [B, L-k+1]; positions beyond a read's length
     are -1.  Output equals per-k-mer search at every position (the
     contract of SBWT::streaming_search, SBWT.hh:231).
 
-    sync_axes: mesh axis names over which the patch-pass trip count must
+    The patch runs in two stages when the index has a precalc table:
+    stage A gathers only each unresolved position's precalc seed (~2
+    gathers) and answers the ~94% of random-read restarts whose seed is
+    empty with -1 outright; stage B runs the exact LF continuation only
+    on the survivors.  A single-stage patch (full k-step search per
+    unresolved position, ~2k dependent gathers) made all-miss batches
+    ~16x more expensive AND long enough to trip device-timeout faults.
+
+    sync_axes: mesh axis names over which the patch-pass trip counts must
     be maximized (required when the index gathers psum over a model axis
     inside shard_map: collectives must run the same number of times on
     every device).
@@ -210,19 +223,64 @@ def streaming_search(index, codes, lengths=None, chunk=None, sync_axes=None):
     codes_flat = codes.ravel().astype(jnp.int32)
     karange = jnp.arange(k, dtype=jnp.int32)
 
-    def body(i, ans_flat):
-        sel = lax.dynamic_slice(work, (i * chunk,), (chunk,))
-        lane = jnp.clip(sel, 0, total - 1) // P
-        pos = jnp.clip(sel, 0, total - 1) % P
-        base = lane * L + pos
-        win = codes_flat[jnp.clip(base[:, None] + karange[None, :], 0, B * L - 1)]
-        res = search_batch(index, win)
-        return ans_flat.at[sel].set(res, mode="drop")
+    def _sync(c):
+        return lax.pmax(c, sync_axes) if sync_axes else c
 
-    n_iters = (count + chunk - 1) // chunk
-    if sync_axes:
-        n_iters = lax.pmax(n_iters, sync_axes)
-    ans_flat = lax.fori_loop(0, n_iters, body, ans.ravel())
+    def _window(sel, width):
+        selc = jnp.clip(sel, 0, total - 1)
+        base = selc // P * L + selc % P
+        return codes_flat[
+            jnp.clip(base[:, None] + karange[None, :width], 0, B * L - 1)
+        ]
+
+    p = getattr(index, "precalc_k", 0)
+    if p <= 0 or k == p:
+        # no precalc (or seed already decides): single-stage full search
+        def body(i, ans_flat):
+            sel = lax.dynamic_slice(work, (i * chunk,), (chunk,))
+            res = search_batch(index, _window(sel, k))
+            return ans_flat.at[sel].set(res, mode="drop")
+
+        n_iters = _sync((count + chunk - 1) // chunk)
+        ans_flat = lax.fori_loop(0, n_iters, body, ans.ravel())
+    else:
+        weights = jnp.asarray(4 ** np.arange(p, dtype=np.int64), dtype=jnp.int32)
+
+        # ---- stage A: seed-only triage ---------------------------------
+        # -1 for dead seeds / invalid windows; STAGE_SENTINEL for live
+        # seeds, resolved in stage B below.
+        def body_a(i, ans_flat):
+            sel = lax.dynamic_slice(work, (i * chunk,), (chunk,))
+            win = _window(sel, p)  # only the seed's p characters
+            ok = jnp.all((win >= 0) & (win < 4), axis=1)
+            pidx = jnp.sum((jnp.clip(win, 0) & 3) * weights, axis=1)
+            l0 = index.precalc[pidx][:, 0]
+            res = jnp.where(ok & (l0 >= 0), jnp.int32(STAGE_SENTINEL), -1)
+            return ans_flat.at[sel].set(res.astype(ans_flat.dtype), mode="drop")
+
+        n_a = _sync((count + chunk - 1) // chunk)
+        ans_flat = lax.fori_loop(0, n_a, body_a, ans.ravel())
+
+        # ---- stage B: exact search on surviving positions --------------
+        # The seed's validity says nothing about characters p..k-1, and a
+        # live seed can still be absent after the LF continuation —
+        # search_batch re-derives both exactly.  Survivors are a small
+        # minority on random inputs, so the full-search chunks pool FAR
+        # fewer trips than a single-stage patch.
+        work_b, count_b = compact_indices(ans_flat == STAGE_SENTINEL)
+        # survivors are ~6% of unresolved on random inputs: size the full-
+        # search chunks down so a near-empty stage B doesn't pay a padded
+        # maximal-width trip
+        cb = min(max(chunk // 4, 4096), total)
+
+        def body_b(i, ans_flat):
+            sel = lax.dynamic_slice(work_b, (i * cb,), (cb,))
+            res = search_batch(index, _window(sel, k))
+            return ans_flat.at[sel].set(res, mode="drop")
+
+        n_b = _sync((count_b + cb - 1) // cb)
+        ans_flat = lax.fori_loop(0, n_b, body_b, ans_flat)
+
     ans = ans_flat.reshape(B, P)
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
