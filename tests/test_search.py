@@ -215,3 +215,34 @@ def test_get_kmers_batch_matches_scalar():
     batch = sbwt.get_kmers_batch(cols)
     for col in cols:
         assert batch[col] == sbwt.get_kmer_fast(col, ss)
+
+
+def test_streaming_staged_patch_miss_heavy():
+    """All-miss batch wide enough for multiple staged-patch trips: stage A
+    (seed triage) + stage B (survivor searches) must equal per-k-mer
+    search everywhere and leave no stage sentinel behind."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sbwt_tpu.ops.search import streaming_search_jit
+    from sbwt_tpu.utils.dna import encode_query
+
+    rng = np.random.default_rng(23)
+    seqs = ["".join(rng.choice(list("ACGT"), size=2500))]
+    sbwt = SBWT.build(seqs, 12, precalc_k=5)
+    n, L = 500, 36
+    codes = rng.integers(0, 4, size=(n, L)).astype(np.int32)
+    for i in range(0, n, 40):  # some genomic reads
+        codes[i] = encode_query(seqs[0][i : i + L])
+    codes[3, 7] = -1  # invalid char mid-read
+    lengths = np.full(n, L, dtype=np.int32)
+    got = np.asarray(
+        streaming_search_jit(
+            sbwt.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    assert (got >= -1).all()
+    k = 12
+    P = L - k + 1
+    wins = np.stack([codes[:, i : i + k] for i in range(P)], axis=1)
+    want = np.asarray(sbwt.search_batch(wins.reshape(n * P, k))).reshape(n, P)
+    np.testing.assert_array_equal(got, want)
