@@ -54,6 +54,12 @@ from jax import lax
 # and a pooled second-stage LF pass replaces every occurrence before
 # turbo_streaming_search returns (real answers are always >= -1).
 SLOW_SENTINEL = -2
+# Transient encoding for singleton walks that survive their first inline
+# arity-step: value v = WALK_CONT - col (always <= -3, injective in the
+# intermediate column col >= 0).  On random inputs ~98% of live restart
+# walks die within the first step, so the remaining rem-A characters are
+# walked only for the tiny survivor set, pooled across all patch trips.
+WALK_CONT = -3
 
 
 @partial(
@@ -446,9 +452,6 @@ def turbo_streaming_search(
     l0s, r0s = seed0[:, 0], seed0[:, 1]
     dead0 = (l0s < 0) | ~valid0
     slow0 = ~dead0 & (l0s != r0s)
-    col0 = jnp.where(dead0, -1, l0s)
-    col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
-    ans0 = jnp.where(slow0, -1, col0)
 
     # exact fallback for non-singleton seeds at position 0 (must resolve
     # before the chain can start); count-adaptive chunks
@@ -457,7 +460,34 @@ def turbo_streaming_search(
     c0 = min(c0, B)
 
     if use_pw:
+        # singleton walks run COMPACTED (live seeds only): on miss-heavy
+        # batches ~94% of lanes die at the seed and a lockstep walk would
+        # gather rem/A rows for every one of them
         pw0 = _pack_rem(cc0, 1, k, p).reshape(B, 2)
+        walk0_list, n_walk0 = compact_indices(~dead0 & ~slow0)
+        W0 = min(_clamp_pow2(B // 4, 8192, 1 << 20), B)
+        # derive the -1 init from l0s so it stays VARYING under shard_map
+        # (a fresh constant array is replicated and breaks the loop carry)
+        ans0 = (l0s * 0 - 1).astype(jnp.int32)
+
+        def walk0(i, a0):
+            sel = lax.dynamic_slice(walk0_list, (i * W0,), (W0,))  # sentinel B
+            selc = jnp.clip(sel, 0, B - 1)
+            pws = pw0[selc]
+
+            def char_fn(j):
+                wv = pws[..., 0] if j < 16 else pws[..., 1]
+                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
+                    jnp.int32
+                )
+
+            col = _walk_rem(
+                turbo, jnp.where(sel < B, l0s[selc], -1), char_fn, rem
+            )
+            return a0.at[sel].set(col, mode="drop")
+
+        n_w0 = _sync((n_walk0 + W0 - 1) // W0)
+        ans0 = lax.fori_loop(0, n_w0, walk0, ans0)
 
         def body0(i, a0):
             sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
@@ -466,6 +496,9 @@ def turbo_streaming_search(
             return a0.at[sel].set(res, mode="drop")
 
     else:
+        col0 = jnp.where(dead0, -1, l0s)
+        col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
+        ans0 = jnp.where(slow0, -1, col0)
 
         def body0(i, a0):
             sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
@@ -511,7 +544,9 @@ def turbo_streaming_search(
 
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
-    cap = 1 << 17 if (use_pw and turbo.seed_bits is not None) else 1 << 16
+    take0 = min(A, rem) if rem > 0 else 0  # chars walked inline per restart
+    rem2 = rem - take0  # chars left for the pooled continue-walk stage
+    cap = 1 << 18 if (use_pw and turbo.seed_bits is not None) else 1 << 16
     Cn = _clamp_pow2(B // 16, 8192, cap) if chunk_lanes is None else min(chunk_lanes, B)
     Cn = min(Cn, B)
     # expected live fractions (docs/DESIGN.md: p >= 13 keeps non-singleton
@@ -565,15 +600,21 @@ def turbo_streaming_search(
                     jnp.int32
                 )
 
-            col = _walk_rem(
-                turbo, jnp.where(singleton & ok_sel, l0s, -1), char_fn, rem
+            # ONE inline arity-step: on random inputs each character kills
+            # ~3/4 of walkers, so after A characters ~98% of live walks are
+            # already dead (-1).  Survivors take the WALK_CONT encoding and
+            # finish in the pooled second stage; non-singleton seeds
+            # (~0.2% of live positions at p=13) take the SLOW sentinel —
+            # resolving either here would nest narrow latency-bound
+            # sub-loops inside every live trip of every lane trip.
+            cs = [char_fn(j if j < take0 else rem - 1) for j in range(A)]
+            tv = jnp.ones_like(selc, dtype=bool)
+            outs = _step(
+                turbo, jnp.where(singleton & ok_sel, l0s, -1), cs, [tv] * A
             )
-            # non-singleton seeds (~0.2% of live positions at p=13) take the
-            # SLOW sentinel (-2): resolving them here would nest a tiny
-            # latency-bound LF sub-loop (34 dependent gathers at <=64K
-            # lanes) inside every live trip — at hit0 that's ~100
-            # sequential sub-trips.  A second-stage pass below pools them
-            # across ALL lane trips and resolves them in a few wide chunks.
+            col = outs[take0 - 1]
+            if rem2 > 0:
+                col = jnp.where(col >= 0, WALK_CONT - col, -1)
             res = jnp.where(singleton, col, SLOW_SENTINEL)
             return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
 
@@ -664,27 +705,61 @@ def turbo_streaming_search(
     ans = lax.fori_loop(0, n_lane_iters, body, ans)
 
     if use_bitmap:
-        # ---- second stage: non-singleton seeds, pooled ------------------
-        # The patch pass marked them SLOW_SENTINEL instead of nesting a
-        # narrow LF sub-loop per trip; here they are compacted by LANE
-        # (memory-light: no [B*P] work list) and resolved with the exact
-        # packed-window LF in a few wide chunks.  ~0.17% of random
-        # positions at p=13, so even all-miss batches take a handful of
-        # trips instead of ~trips x live-trips sequential sub-loops.
-        slow_lane = jnp.any(ans == SLOW_SENTINEL, axis=1)
-        sl_work, n_sl = compact_indices(slow_lane)
+        # ---- second stage: pooled pending positions ---------------------
+        # The patch pass leaves two kinds of transient markers instead of
+        # nesting narrow sub-loops per trip: WALK_CONT-encoded mid-walk
+        # columns (singleton walks that survived their first arity-step,
+        # ~2% of live restarts on random input) and SLOW_SENTINEL
+        # (non-singleton seeds, ~0.17% of positions at p=13).  Both are
+        # compacted by LANE (memory-light: no [B*P] work list) and
+        # resolved in a few wide chunks pooled across ALL patch trips.
+        pend_lane = jnp.any(ans <= SLOW_SENTINEL, axis=1)
+        pl_work, n_pl = compact_indices(pend_lane)
         Cs2 = min(_clamp_pow2(B // 32, 8192, 1 << 17), B)
         Sw2 = min(1 << 16, Cs2 * P)
+        Wg = min(_clamp_pow2(Cs2 * P // 16, 8192, 1 << 19), Cs2 * P)
 
-        def slow_lane_body(i, a):
-            lanes = lax.dynamic_slice(sl_work, (i * Cs2,), (Cs2,))  # sentinel B
+        def pend_body(i, a):
+            lanes = lax.dynamic_slice(pl_work, (i * Cs2,), (Cs2,))  # sentinel B
             safe = jnp.clip(lanes, 0, B - 1)
             arows = a[safe]  # [Cs2, P]
+            lane_ok = lanes[:, None] < B
             rows = codes[safe].astype(jnp.int32)  # [Cs2, L]
-            m = (arows == SLOW_SENTINEL) & (lanes[:, None] < B)
+            spw = _pack_rem(rows, P, k, p).reshape(Cs2 * P, 2)
+
+            def char_at(pws, j):
+                wv = pws[..., 0] if j < 16 else pws[..., 1]
+                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
+                    jnp.int32
+                )
+
+            if rem2 > 0:
+                # (a) continue-walks: decode the intermediate column and
+                # walk the remaining rem - take0 characters
+                mw = (arows <= WALK_CONT) & lane_ok
+                af = arows.ravel()
+                wl, wcnt = compact_indices(mw)
+
+                def wb(t, nr):
+                    sel = lax.dynamic_slice(wl, (t * Wg,), (Wg,))
+                    selc = jnp.clip(sel, 0, Cs2 * P - 1)
+                    col = (WALK_CONT - af[selc]).astype(jnp.int32)
+                    pws = spw[selc]
+                    col = _walk_rem(
+                        turbo,
+                        jnp.where(sel < Cs2 * P, col, -1),
+                        lambda j: char_at(pws, take0 + j),
+                        rem2,
+                    )
+                    return nr.ravel().at[sel].set(col, mode="drop").reshape(Cs2, P)
+
+                n_w = _sync((wcnt + Wg - 1) // Wg)
+                arows = lax.fori_loop(0, n_w, wb, arows)
+
+            # (b) non-singleton seeds: exact LF from the seed interval
+            m = (arows == SLOW_SENTINEL) & lane_ok
             spidx, _ = _pidx_vwin(turbo, rows, P)
             spidx_f = spidx.ravel()
-            spw = _pack_rem(rows, P, k, p).reshape(Cs2 * P, 2)
             w_list, wc = compact_indices(m)
 
             def sb(t, nr):
@@ -695,11 +770,11 @@ def turbo_streaming_search(
                 return nr.ravel().at[sel].set(res, mode="drop").reshape(Cs2, P)
 
             n2 = _sync((wc + Sw2 - 1) // Sw2)
-            nr = lax.fori_loop(0, n2, sb, arows)
-            return a.at[lanes].set(nr, mode="drop")
+            arows = lax.fori_loop(0, n2, sb, arows)
+            return a.at[lanes].set(arows, mode="drop")
 
-        n_sl_iters = _sync((n_sl + Cs2 - 1) // Cs2)
-        ans = lax.fori_loop(0, n_sl_iters, slow_lane_body, ans)
+        n_pl_iters = _sync((n_pl + Cs2 - 1) // Cs2)
+        ans = lax.fori_loop(0, n_pl_iters, pend_body, ans)
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
