@@ -180,18 +180,30 @@ def main():
             lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
             fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_r)
         elif regime.startswith("rrr"):
-            n_r = min(n_reads, 1 << 20)
+            # rrr rank decode makes each LF step several times heavier
+            # than plain-matrix; a single whole-batch dispatch runs long
+            # enough to trip the device watchdog (this cell faulted in
+            # every previous round).  Dispatch in 64K-read chunks instead:
+            # one compile, several short device ops, same total work.
+            n_r = min(n_reads, 1 << 19)
+            ch = min(n_r, 1 << 16)
             write_log("bench: re-encoding rrr-matrix variant")
             rrr = sbwt.to_variant("rrr-matrix")
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=4, random_fraction=frac)
-            l_r = lengths_d[:n_r]
+            l_ch = lengths_d[:ch]
 
             @jax.jit
             def run_rrr(index, codes, lengths):
                 out = streaming_search(index, codes, lengths)
                 return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
-            fn = lambda cc: run_rrr(rrr.device_index, cc, l_r)
+            def fn(cc):
+                s = h = 0
+                for i in range(0, n_r, ch):
+                    s_, h_ = run_rrr(rrr.device_index, cc[i : i + ch], l_ch)
+                    s += int(s_)
+                    h += int(h_)
+                return s, h  # python ints: already fetched/completed
         else:  # lf
             n_r = min(n_reads, 1 << 21)
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=3, random_fraction=frac)
