@@ -459,35 +459,16 @@ def turbo_streaming_search(
     c0 = _clamp_pow2(B // 8, 8192, 1 << 18) if chunk_slow is None else chunk_slow
     c0 = min(c0, B)
 
+    # position-0 walks stay full-width lockstep: they amortize over P
+    # answers per lane (~4% of an all-miss run), and a compacted variant
+    # measurably costs the hit-heavy path more (narrower walk gathers)
+    # than it saves on misses.
+    col0 = jnp.where(dead0, -1, l0s)
+    col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
+    ans0 = jnp.where(slow0, -1, col0)
+
     if use_pw:
-        # singleton walks run COMPACTED (live seeds only): on miss-heavy
-        # batches ~94% of lanes die at the seed and a lockstep walk would
-        # gather rem/A rows for every one of them
         pw0 = _pack_rem(cc0, 1, k, p).reshape(B, 2)
-        walk0_list, n_walk0 = compact_indices(~dead0 & ~slow0)
-        W0 = min(_clamp_pow2(B // 4, 8192, 1 << 20), B)
-        # derive the -1 init from l0s so it stays VARYING under shard_map
-        # (a fresh constant array is replicated and breaks the loop carry)
-        ans0 = (l0s * 0 - 1).astype(jnp.int32)
-
-        def walk0(i, a0):
-            sel = lax.dynamic_slice(walk0_list, (i * W0,), (W0,))  # sentinel B
-            selc = jnp.clip(sel, 0, B - 1)
-            pws = pw0[selc]
-
-            def char_fn(j):
-                wv = pws[..., 0] if j < 16 else pws[..., 1]
-                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
-                    jnp.int32
-                )
-
-            col = _walk_rem(
-                turbo, jnp.where(sel < B, l0s[selc], -1), char_fn, rem
-            )
-            return a0.at[sel].set(col, mode="drop")
-
-        n_w0 = _sync((n_walk0 + W0 - 1) // W0)
-        ans0 = lax.fori_loop(0, n_w0, walk0, ans0)
 
         def body0(i, a0):
             sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
@@ -496,9 +477,6 @@ def turbo_streaming_search(
             return a0.at[sel].set(res, mode="drop")
 
     else:
-        col0 = jnp.where(dead0, -1, l0s)
-        col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
-        ans0 = jnp.where(slow0, -1, col0)
 
         def body0(i, a0):
             sel = lax.dynamic_slice(work0, (i * c0,), (c0,))
@@ -546,7 +524,7 @@ def turbo_streaming_search(
     lanes_work, n_dirty = compact_indices(dirty)
     take0 = min(A, rem) if rem > 0 else 0  # chars walked inline per restart
     rem2 = rem - take0  # chars left for the pooled continue-walk stage
-    cap = 1 << 18 if (use_pw and turbo.seed_bits is not None) else 1 << 16
+    cap = 1 << 17 if (use_pw and turbo.seed_bits is not None) else 1 << 16
     Cn = _clamp_pow2(B // 16, 8192, cap) if chunk_lanes is None else min(chunk_lanes, B)
     Cn = min(Cn, B)
     # expected live fractions (docs/DESIGN.md: p >= 13 keeps non-singleton
@@ -717,7 +695,10 @@ def turbo_streaming_search(
         pl_work, n_pl = compact_indices(pend_lane)
         Cs2 = min(_clamp_pow2(B // 32, 8192, 1 << 17), B)
         Sw2 = min(1 << 16, Cs2 * P)
-        Wg = min(_clamp_pow2(Cs2 * P // 16, 8192, 1 << 19), Cs2 * P)
+        # continue-walk survivors are ~2% of live restarts (~0.1% of
+        # positions): keep these chunks narrow so the common near-empty
+        # case doesn't pay a padded half-megalane walk
+        Wg = min(_clamp_pow2(Cs2 * P // 128, 8192, 1 << 16), Cs2 * P)
 
         def pend_body(i, a):
             lanes = lax.dynamic_slice(pl_work, (i * Cs2,), (Cs2,))  # sentinel B
