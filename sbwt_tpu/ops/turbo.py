@@ -91,10 +91,23 @@ class TurboIndex:
         return self.tbl
 
     def tbl_row(self, idx):
-        """Row(s) of the successor table.  The tensor-parallel view
-        (parallel/sharded.py TPTurboView) overrides this with a masked
-        local gather + psum over the model axis."""
+        """Row(s) of the successor table by flat row index (arity-1 path:
+        idx is the column itself, always < n < 2^31).  The tensor-parallel
+        view (parallel/sharded.py TPTurboView) overrides this with a
+        masked local gather + psum over the model axis."""
         return self.tbl[idx]
+
+    def tbl_row_sub(self, col, sub):
+        """Row of the arity>=2 table for (column, packed chars sub).
+
+        Kept as a separate (col, sub) pair so the tensor-parallel view can
+        rebase col to its shard BEFORE forming the flat index — the global
+        col * 4^arity + sub overflows int32 past n = 2^31 / 4^arity, but a
+        per-shard (col - base) * 4^arity + sub stays valid as long as one
+        SHARD holds < 2^31 / 4^arity columns (the reference has no such
+        ceiling because it is int64 throughout, SBWT.hh:44-46; here the
+        narrow engine's whole point is 4-byte lanes)."""
+        return self.tbl[col * jnp.int32(4**self.arity) + sub]
 
 
 def _pack_2bit_u32(v):
@@ -207,6 +220,21 @@ def _build_tbl(index, arity: int, chunk: int):
     return _build_tbl_jit(succ_p, n_pad // chunk, chunk, arity)
 
 
+def check_turbo_index_range(n_nodes: int, arity: int, what: str = "turbo table"):
+    """Raise unless every flat row index col * 4^arity + sub of an
+    arity>=2 successor table fits int32.  The ceiling is n = 2^27 columns
+    at arity 2 and 2^25 at arity 3; past it use arity 1 (indexed by the
+    bare column, good to 2^31) or the tensor-parallel sharded build
+    (parallel/sharded.py build_turbo_sharded), whose per-SHARD rebased
+    indexing only requires one shard's columns to fit."""
+    if arity >= 2 and n_nodes * (4**arity) >= 2**31:
+        raise ValueError(
+            f"{what}: n_nodes={n_nodes} * 4^{arity} exceeds int32 row indexing "
+            f"(limit {2**31 // 4**arity} columns at arity {arity}); use arity 1 "
+            "or the TP-sharded table build (build_turbo_sharded)"
+        )
+
+
 def build_turbo(index, arity: int = 2) -> TurboIndex:
     """Build the successor table from a device index (any variant that
     implements the engine interface; plain-matrix recommended).
@@ -218,6 +246,7 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
         raise ValueError("turbo engine requires streaming support (suffix group marks)")
     if arity not in (1, 2, 3):
         raise ValueError("turbo arity must be 1, 2 or 3")
+    check_turbo_index_range(index.n_nodes, arity)
     if arity == 1:
         tbl = jnp.transpose(_succ1_jit(index))  # [n, 4] int32 rows
     else:
@@ -251,18 +280,18 @@ def _step(turbo, col, cs, vs):
     masks.  Returns the list of successor columns after 1..arity chars.
     Dead lanes (col < 0) stay dead; -1 propagates."""
     A = turbo.arity
-    idx = jnp.clip(col, 0)
     if A == 1:
         # [n, 4] row layout: one 16-byte row gather + VPU select by char
-        row = turbo.tbl_row(idx)
+        row = turbo.tbl_row(jnp.clip(col, 0))
         c = cs[0] & 3
         s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
         s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
         s = jnp.where(c <= 1, s01, s23)
         return [jnp.where((col >= 0) & vs[0], s, -1)]
+    sub = jnp.zeros_like(col)
     for c in cs:
-        idx = idx * 4 + (c & 3)
-    row = turbo.tbl_row(idx)
+        sub = sub * 4 + (c & 3)
+    row = turbo.tbl_row_sub(jnp.clip(col, 0), sub)
     outs = []
     prev_ok = col >= 0
     for i in range(A):

@@ -232,13 +232,22 @@ def tp_search(index: MatrixIndex, codes, mesh: Mesh):
 @dataclass
 class TPTurboView:
     """Per-device view of a row-sharded turbo successor table inside
-    shard_map: same interface as ops.turbo.TurboIndex (tbl_row + the
-    fields the engine reads), with out-of-shard row gathers contributing
-    zero and a psum over `model` reassembling the row.  The seed bitmap
-    and precalc stay replicated (8.4 MB / 537 MB vs the multi-GB table —
-    sharding THE TABLE is what drops per-device HBM with mesh size)."""
+    shard_map: same interface as ops.turbo.TurboIndex (tbl_row /
+    tbl_row_sub + the fields the engine reads), with out-of-shard row
+    gathers contributing zero and a psum over `model` reassembling the
+    row.  The seed bitmap and precalc stay replicated (8.4 MB / 537 MB vs
+    the multi-GB table — sharding THE TABLE is what drops per-device HBM
+    with mesh size).
 
-    tbl_local: jax.Array  # int32 [rows_per_shard, w]
+    Row indexing is REBASED per shard: the arity>=2 step supplies
+    (column, sub-index) separately (ops/turbo.py tbl_row_sub), so the
+    flat row index (col - shard_base) * 4^arity + sub is formed only
+    AFTER subtracting the shard base — the global col * 4^arity would
+    overflow int32 past 2^31 / 4^arity columns, but per-shard indexing
+    only needs one shard's columns to fit (the reference is int64
+    throughout and has no such ceiling, SBWT.hh:44-46)."""
+
+    tbl_local: jax.Array  # int32 [cols_per_shard * 4^arity, w]
     precalc: jax.Array
     C: jax.Array
     seed_bits: jax.Array | None
@@ -249,6 +258,7 @@ class TPTurboView:
     axis: str = "model"
 
     def tbl_row(self, idx):
+        # arity-1 path: idx IS the column (< n < 2^31) — flat rebasing safe
         shard = lax.axis_index(self.axis).astype(jnp.int32)
         rows = self.tbl_local.shape[0]
         local = idx - shard * rows
@@ -257,18 +267,44 @@ class TPTurboView:
         row = jnp.where(in_range[..., None], row, 0)
         return lax.psum(row, self.axis)
 
+    def tbl_row_sub(self, col, sub):
+        shard = lax.axis_index(self.axis).astype(jnp.int32)
+        rpc = 4**self.arity  # rows per column
+        cols = self.tbl_local.shape[0] // rpc
+        local_col = col - shard * cols
+        in_range = (local_col >= 0) & (local_col < cols)
+        local = jnp.clip(local_col, 0, cols - 1) * jnp.int32(rpc) + sub
+        row = self.tbl_local[local]
+        row = jnp.where(in_range[..., None], row, 0)
+        return lax.psum(row, self.axis)
+
+
+def _check_shard_cols(cols_per_shard: int, arity: int):
+    if cols_per_shard * (4**arity) >= 2**31:
+        raise ValueError(
+            f"turbo TP shard too large: {cols_per_shard} columns * 4^{arity} "
+            "rows exceeds int32 per-shard indexing; use more model-axis devices"
+        )
+
 
 def shard_turbo_rows(turbo, mesh: Mesh):
-    """Place the turbo successor table row-sharded over `model`; the
-    small leaves (precalc, C, seed_bits) replicated."""
+    """Place an already-built turbo successor table row-sharded over
+    `model`; the small leaves (precalc, C, seed_bits) replicated.
+
+    Shards are padded to whole-COLUMN boundaries (4^arity rows) so the
+    per-shard rebased indexing of TPTurboView.tbl_row_sub lines up.  For
+    tables too large to build on one device, use build_turbo_sharded."""
     import dataclasses as _dc
 
     n_model = mesh.shape["model"]
+    rpc = 4**turbo.arity if turbo.arity >= 2 else 1
+    tbl = _pad_rows(turbo.tbl, n_model * rpc)
+    _check_shard_cols(tbl.shape[0] // n_model // rpc, turbo.arity if turbo.arity >= 2 else 0)
     row_shard = NamedSharding(mesh, P("model", None))
     repl = NamedSharding(mesh, P())
     return _dc.replace(
         turbo,
-        tbl=jax.device_put(_pad_rows(turbo.tbl, n_model), row_shard),
+        tbl=jax.device_put(tbl, row_shard),
         precalc=jax.device_put(turbo.precalc, repl),
         C=jax.device_put(turbo.C, repl),
         seed_bits=(
@@ -276,6 +312,104 @@ def shard_turbo_rows(turbo, mesh: Mesh):
             if turbo.seed_bits is not None
             else None
         ),
+    )
+
+
+def is_turbo_row_sharded(turbo, mesh: Mesh) -> bool:
+    """True if the turbo table is already row-sharded over this mesh's
+    `model` axis on whole-column boundaries (e.g. built by
+    build_turbo_sharded) — the TP entry point then skips re-placement."""
+    want = NamedSharding(mesh, P("model", None))
+    n_model = mesh.shape["model"]
+    rpc = 4**turbo.arity if turbo.arity >= 2 else 1
+    try:
+        return (
+            isinstance(turbo.tbl, jax.Array)
+            and turbo.tbl.sharding.is_equivalent_to(want, turbo.tbl.ndim)
+            and turbo.tbl.shape[0] % (n_model * rpc) == 0
+        )
+    except (AttributeError, TypeError):
+        return False
+
+
+def build_turbo_sharded(index: MatrixIndex, mesh: Mesh, arity: int = 2):
+    """Build the turbo successor table DIRECTLY row-sharded over `model`:
+    each device expands only its own column range from the replicated
+    1-step successor map, so the aggregate table can exceed any single
+    device's HBM (building on one device first — shard_turbo_rows —
+    caps the table at what one device can materialize, which defeats the
+    point of sharding it).
+
+    The replicated inputs are tiny next to the table: succ is 16 B/column
+    vs 128 B (arity 2) or 1 KiB (arity 3) for the table itself.  Returns
+    a TurboIndex whose tbl is a global jax.Array sharded P('model', None);
+    query it with tp_turbo_streaming_search."""
+    from ..ops.turbo import (
+        TurboIndex, _pack_seed_pair_bits, _pair_chunk, _triple_chunk,
+        _succ1_jit,
+    )
+
+    if arity not in (2, 3):
+        raise ValueError("sharded turbo build supports arity 2 or 3")
+    if not index.has_streaming:
+        raise ValueError("turbo engine requires streaming support (suffix group marks)")
+    n_model = mesh.shape["model"]
+    n = index.n_nodes
+    chunk = 1 << 20 if arity == 2 else 1 << 18
+    per_shard = -(-n // n_model)
+    chunk = min(chunk, max(1024, per_shard))
+    # columns per shard: multiple of chunk so the per-shard build loops
+    # over whole chunks; every shard holds the same count (shard_map needs
+    # equal block shapes), tail shards hold pad columns (never gathered)
+    cps = -(-per_shard // chunk) * chunk
+    _check_shard_cols(cps, arity)
+    succ = _succ1_jit(index)  # [4, n] int32, replicated
+    succ_p = jnp.pad(succ, ((0, 0), (0, n_model * cps - n)))
+    rpc = 4**arity
+    width = 2 if arity == 2 else 4
+    fn_chunk = _pair_chunk.__wrapped__ if arity == 2 else _triple_chunk.__wrapped__
+    n_chunks = cps // chunk
+
+    def body(succ_l):
+        base = lax.axis_index("model").astype(jnp.int32) * cps
+        # the carry must be device-varying like the chunk parts it
+        # accumulates (a fresh constant is replicated -> carry mismatch)
+        tbl = lax.pcast(
+            jnp.zeros((cps * rpc, width), dtype=jnp.int32),
+            "model",
+            to="varying",
+        )
+
+        def fill(i, tbl):
+            part = fn_chunk(succ_l, base + i * chunk, chunk)
+            return lax.dynamic_update_slice(tbl, part, (i * chunk * rpc, 0))
+
+        return lax.fori_loop(0, n_chunks, fill, tbl)
+
+    built = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(),),
+            out_specs=P("model", None),
+        )
+    )(jax.device_put(succ_p, NamedSharding(mesh, P())))
+
+    repl = NamedSharding(mesh, P())
+    seed_bits = (
+        jax.device_put(_pack_seed_pair_bits(index.precalc[:, 0] >= 0), repl)
+        if 0 < index.precalc_k <= 14
+        else None
+    )
+    return TurboIndex(
+        tbl=built,
+        precalc=jax.device_put(index.precalc, repl),
+        C=jax.device_put(index.C, repl),
+        n_nodes=n,
+        k=index.k,
+        precalc_k=index.precalc_k,
+        arity=arity,
+        seed_bits=seed_bits,
     )
 
 
@@ -290,7 +424,7 @@ def tp_turbo_streaming_search(turbo, index: MatrixIndex, codes, lengths, mesh: M
     collective."""
     from ..ops.turbo import turbo_streaming_search
 
-    sharded_t = shard_turbo_rows(turbo, mesh)
+    sharded_t = turbo if is_turbo_row_sharded(turbo, mesh) else shard_turbo_rows(turbo, mesh)
     repl = NamedSharding(mesh, P())
     index = jax.tree.map(lambda x: jax.device_put(x, repl), index)
 
