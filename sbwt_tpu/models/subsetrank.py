@@ -102,7 +102,7 @@ class MatrixRank:
         return flat.reshape(4, self.n)
 
     def payload(self) -> dict:
-        out = {"n": np.int64(self.n)}
+        out = {"n": np.int64(self.n), "base": np.asarray(self.base)}
         for k, v in self.bv.payload().items():
             out[f"bv_{k}"] = v
         return out
@@ -112,10 +112,15 @@ class MatrixRank:
         sub = {k[3:]: v for k, v in p.items() if k.startswith("bv_")}
         bv = BV_CLASSES[kind].from_payload(sub)
         n = int(p["n"])
-        bits = bv.to_bools().reshape(4, n)
-        counts = bits.sum(axis=1, dtype=np.int64)
-        base = np.zeros(5, dtype=np.int32)
-        base[1:] = np.cumsum(counts)
+        if "base" in p:
+            base = np.asarray(p["base"], dtype=np.int32)
+        else:
+            # legacy payloads (pre round 4) lack the 5-int base array and
+            # must pay an O(n) bool decode of the compressed vector
+            bits = bv.to_bools().reshape(4, n)
+            counts = bits.sum(axis=1, dtype=np.int64)
+            base = np.zeros(5, dtype=np.int32)
+            base[1:] = np.cumsum(counts)
         return cls(bv=bv, base=jnp.asarray(base), n=n, kind=kind)
 
     def size_in_bytes(self) -> int:
@@ -185,7 +190,11 @@ class SplitRank:
         return bits
 
     def payload(self) -> dict:
-        out = {"n": np.int64(self.n), "n_b": np.int64(self.n_b)}
+        out = {
+            "n": np.int64(self.n),
+            "n_b": np.int64(self.n_b),
+            "z_base": np.asarray(self.z_base),
+        }
         for k, v in self.X.payload().items():
             out[f"X_{k}"] = v
         for k, v in self.Y.payload().items():
@@ -206,10 +215,14 @@ class SplitRank:
             {k[2:]: v for k, v in p.items() if k.startswith("Z_")}
         )
         n_b = int(p["n_b"])
-        zbits = Z.to_bools().reshape(4, n_b)
-        counts = zbits.sum(axis=1, dtype=np.int64)
-        z_base = np.zeros(5, dtype=np.int32)
-        z_base[1:] = np.cumsum(counts)
+        if "z_base" in p:
+            z_base = np.asarray(p["z_base"], dtype=np.int32)
+        else:
+            # legacy payloads: recompute by decoding (O(n) bools)
+            zbits = Z.to_bools().reshape(4, n_b)
+            counts = zbits.sum(axis=1, dtype=np.int64)
+            z_base = np.zeros(5, dtype=np.int32)
+            z_base[1:] = np.cumsum(counts)
         return cls(
             X=X, Y=Y, Z=Z, z_base=jnp.asarray(z_base),
             n=int(p["n"]), n_b=n_b, x_kind=x_kind, z_kind=z_kind,
