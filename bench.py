@@ -68,7 +68,13 @@ def sample_read_codes_device(
         )
         codes = genome[starts[:, None] + jnp.arange(read_len, dtype=jnp.int32)[None, :]]
         n_rand = max(1, int(n_reads * random_fraction))
-        rand_rows = jax.random.randint(k2, (n_rand,), 0, n_reads, dtype=jnp.int32)
+        # rows chosen WITHOUT replacement (a random permutation prefix):
+        # sampling with replacement under-delivers the requested fraction
+        # badly at high fractions (1 - e^-1 = 63% distinct rows at
+        # fraction 1.0), which silently made the miss-heavy regimes
+        # ~37% genomic — round 3's hit0/hit50 cells were measured on
+        # friendlier batches than their labels claim.
+        rand_rows = jax.random.permutation(k2, n_reads)[:n_rand]
         rand_codes = jax.random.randint(
             k3, (n_rand, read_len), 0, 4, dtype=jnp.int8
         )
@@ -190,7 +196,6 @@ def main():
             write_log("bench: re-encoding rrr-matrix variant")
             rrr = sbwt.to_variant("rrr-matrix")
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=4, random_fraction=frac)
-            l_ch = lengths_d[:ch]
 
             @jax.jit
             def run_rrr(index, codes, lengths):
@@ -200,7 +205,12 @@ def main():
             def fn(cc):
                 s = h = 0
                 for i in range(0, n_r, ch):
-                    s_, h_ = run_rrr(rrr.device_index, cc[i : i + ch], l_ch)
+                    c_ch = cc[i : i + ch]
+                    # slice lengths to the chunk's ACTUAL size: the final
+                    # chunk is short when n_r % ch != 0 (e.g. a custom
+                    # SBWT_BENCH_READS), and a fixed 64K lengths batch
+                    # would shape-mismatch the jitted program
+                    s_, h_ = run_rrr(rrr.device_index, c_ch, lengths_d[: c_ch.shape[0]])
                     s += int(s_)
                     h += int(h_)
                 return s, h  # python ints: already fetched/completed

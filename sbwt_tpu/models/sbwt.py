@@ -412,7 +412,9 @@ class SBWT:
         from ..utils.memory import select_turbo_arity
 
         if arity is None:
-            arity = select_turbo_arity(self.number_of_subsets(), free_bytes)
+            arity = select_turbo_arity(
+                self.number_of_subsets(), free_bytes, self.device_index.precalc_k
+            )
             if arity is None:
                 self._turbo = None
                 return None

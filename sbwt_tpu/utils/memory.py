@@ -36,17 +36,25 @@ def device_free_bytes(device=None) -> int | None:
     return None
 
 
-def turbo_table_bytes(n_nodes: int, arity: int) -> int:
-    """HBM cost of the successor table (ops/turbo.py layouts):
-    arity 1 = int32 [n, 4] rows (16 B/col); arity 2/3 = int32
-    [n * 4^arity, width] with width 2 (arity 2) or 4 (arity 3)."""
+def turbo_table_bytes(n_nodes: int, arity: int, precalc_k: int = 0) -> int:
+    """HBM cost of the turbo engine's device tables (ops/turbo.py):
+    the successor table (arity 1 = int32 [n, 4] rows, 16 B/col;
+    arity 2/3 = int32 [n * 4^arity, width] with width 2 or 4) plus the
+    seed-liveness pair bitmap (2 bits per (p+1)-mer, built whenever
+    0 < precalc_k <= 14 — 67 MB at p=13)."""
     if arity == 1:
-        return n_nodes * 16
-    width = 2 if arity == 2 else 4
-    return n_nodes * (4**arity) * width * 4
+        tbl = n_nodes * 16
+    else:
+        width = 2 if arity == 2 else 4
+        tbl = n_nodes * (4**arity) * width * 4
+    if 0 < precalc_k <= 14:
+        tbl += 4 ** (precalc_k + 1) // 4
+    return tbl
 
 
-def select_turbo_arity(n_nodes: int, free_bytes: int | None = None) -> int | None:
+def select_turbo_arity(
+    n_nodes: int, free_bytes: int | None = None, precalc_k: int = 0
+) -> int | None:
     """Largest affordable turbo arity (3, 2, 1) or None for the LF engine.
 
     free_bytes defaults to the measured free memory of the default device;
@@ -64,6 +72,8 @@ def select_turbo_arity(n_nodes: int, free_bytes: int | None = None) -> int | Non
         return 1 if n_nodes <= 400_000_000 else None
     budget = int(free_bytes * HEADROOM_FRACTION)
     for arity in (3, 2, 1):
-        if turbo_table_bytes(n_nodes, arity) <= budget:
+        if arity >= 2 and n_nodes * (4**arity) >= 2**31:
+            continue  # flat row index would overflow int32 (ops/turbo.py)
+        if turbo_table_bytes(n_nodes, arity, precalc_k) <= budget:
             return arity
     return None

@@ -17,14 +17,27 @@ def test_turbo_table_cost_model():
 
 
 def test_select_turbo_arity_tiers():
-    # 100M columns (the VERDICT's big-index scenario): arity 3 needs
-    # 100 GB, arity 2 needs 12.8 GB
+    # 100M columns (the VERDICT's big-index scenario): arity 3's flat row
+    # index n * 64 overflows int32 past 2^25 columns, so the ladder must
+    # skip it here NO MATTER how much HBM is free (ops/turbo.py
+    # check_turbo_index_range); arity 2 (1.6e9 rows < 2^31) needs 12.8 GB
     n = 100_000_000
-    assert select_turbo_arity(n, free_bytes=300 << 30) == 3
+    assert select_turbo_arity(n, free_bytes=300 << 30) == 2
     assert select_turbo_arity(n, free_bytes=30 << 30) == 2
     assert select_turbo_arity(n, free_bytes=2 << 30) is None
     # small index: everything fits
     assert select_turbo_arity(10_000, free_bytes=1 << 30) == 3
+    # at 2^26 columns arity 3 overflows but arity 2 (2^30 rows) still fits
+    assert select_turbo_arity(1 << 26, free_bytes=300 << 30) == 2
+
+
+def test_turbo_table_bytes_includes_seed_bitmap():
+    # the pair-liveness bitmap (2 bits per (p+1)-mer) is part of the
+    # turbo footprint whenever 0 < p <= 14: 4^(p+1)/4 bytes = 67 MB at
+    # p=13 — the degrade ladder's budget must account for it
+    base = turbo_table_bytes(1_000_000, 2)
+    assert turbo_table_bytes(1_000_000, 2, precalc_k=13) == base + 4**14 // 4
+    assert turbo_table_bytes(1_000_000, 2, precalc_k=15) == base
 
 
 def test_select_turbo_arity_measured():
