@@ -77,18 +77,30 @@ def build_sbwt_external(
         else None
     )
     n_windows = 0
-    with open(raw, "wb") as f:
+    use_native_spill = not wide and native.available()
+    if use_native_spill:
+        # one native rolling pass per chunk packs + filters + appends:
+        # the numpy packer is k shifted full-array passes (O(n*k)) and
+        # was ~70% of the whole external build at k=30
+        open(raw, "wb").close()
         for codes in _iter_code_chunks(seqs, add_reverse_complements):
-            if wide:
-                vals, valid = kw.pack_windows(codes, k)
-            else:
-                vals, valid = km.pack_windows(codes, k)
-            if vals.size:
-                kept = np.ascontiguousarray(vals[valid])
-                kept.tofile(f)
-                n_windows += len(kept)
+            codes = codes if isinstance(codes, np.ndarray) else encode(codes)
+            n_windows += native.spill_windows_u64(codes, k, raw, n_threads=n_threads)
             if progress is not None:
                 progress.job_done()
+    else:
+        with open(raw, "wb") as f:
+            for codes in _iter_code_chunks(seqs, add_reverse_complements):
+                if wide:
+                    vals, valid = kw.pack_windows(codes, k)
+                else:
+                    vals, valid = km.pack_windows(codes, k)
+                if vals.size:
+                    kept = np.ascontiguousarray(vals[valid])
+                    kept.tofile(f)
+                    n_windows += len(kept)
+                if progress is not None:
+                    progress.job_done()
     write_log(f"external build: spilled {n_windows} k-mer records")
 
     native.em_sort_records_file(

@@ -74,10 +74,15 @@ def _distinct_kmers(
     reference delegates this to KMC's cutoffs, run_kmc.cpp:673-694; note a
     k-mer is distinct from its reverse complement in both systems).
     """
+    from .. import native
+
     chunks = []
     for s in seqs:
         codes = s if isinstance(s, np.ndarray) else encode(s)
-        vals, valid = km.pack_windows(codes, k)
+        packed = native.pack_windows_u64(codes, k)  # one rolling C pass
+        if packed is None:
+            packed = km.pack_windows(codes, k)  # O(n*k) numpy fallback
+        vals, valid = packed
         if vals.size:
             chunks.append(vals[valid])
     if not chunks:

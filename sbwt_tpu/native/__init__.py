@@ -17,7 +17,7 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "_libsbwt_native.so")
-_SRCS = [os.path.join(_DIR, s) for s in ("seqio.c", "emsort.c")]
+_SRCS = [os.path.join(_DIR, s) for s in ("seqio.c", "emsort.c", "pack.c")]
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -90,6 +90,16 @@ def get_lib():
         lib.em_sort_varlen.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pk_spill_windows_u64.restype = ctypes.c_int64
+        lib.pk_spill_windows_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.pk_pack_windows_u64.restype = ctypes.c_int64
+        lib.pk_pack_windows_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -308,3 +318,44 @@ def em_dedup_count_records_file(in_path: str, out_path: str, n_words: int,
     if kept < 0:
         raise RuntimeError("em_dedup_count_u64w failed")
     return int(kept)
+
+
+def spill_windows_u64(codes: np.ndarray, k: int, path: str, n_threads: int = 4) -> int | None:
+    """Pack every valid k-window of `codes` (int8) and APPEND the uint64
+    records to `path` — the external build's spill-encode stage in one
+    native pass (rolling update, multithreaded).  Returns the record
+    count, or None when the native library is unavailable (caller falls
+    back to utils/kmers.pack_windows)."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n = lib.pk_spill_windows_u64(
+        codes.ctypes.data, len(codes), int(k), path.encode(), int(n_threads)
+    )
+    if n < 0:
+        raise RuntimeError(f"spill_windows_u64 failed writing {path}")
+    return int(n)
+
+
+def pack_windows_u64(codes: np.ndarray, k: int):
+    """Native pack_windows (utils/kmers.py contract): returns
+    (vals uint64 [m], valid bool [m]) or None when unavailable."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n = len(codes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
+    m = n - k + 1
+    vals = np.empty(m, dtype=np.uint64)
+    valid = np.empty(m, dtype=np.uint8)
+    lib.pk_pack_windows_u64(
+        codes.ctypes.data, n, int(k), vals.ctypes.data, valid.ctypes.data
+    )
+    return vals, valid.astype(bool)

@@ -7,12 +7,19 @@ TPU-native equivalents of the reference's three bit-vector families
 * `PlainBV`    — sdsl::bit_vector + rank_support_v5: interleaved
   (word, cum-popcount) rows; rank = 1 contiguous 8-byte gather
   (ops/bitvector.py layout).
-* `RRRBV`      — sdsl::rrr_vector<>: blocks of 32 bits stored as
-  (class = popcount, offset = combinatorial rank among C(32,class)
-  patterns); rank decodes the block with a fixed 32-step vectorized
-  unranking loop (combinatorial number system).  Slow-but-small tier,
-  mirroring the reference where rrr ranks are also several times
-  slower than plain.
+* `RRRBV`      — the rrr_vector design point (sdsl rrr_vector<> in the
+  reference's rrr_* variants, variants.hh:20,27,59): blocks stored as
+  (class = popcount, offset = rank among same-class patterns).  Blocks
+  are 15 bits here instead of sdsl's 63 so the offset->pattern map is a
+  2^15-entry LUT (128 KB, fast-gather tier): rank = one 16-byte meta
+  row gather + two offset-stream word gathers + one pattern-LUT gather
+  + a VPU popcount.  Round 3's 63-bit blocks needed a 63-iteration
+  sequential combinatorial unrank per query (126 dependent binom
+  gathers) and measured 247K q/s end-to-end — three orders below the
+  headline; the LUT decode trades ~17% extra class overhead for a
+  table-driven decode.  Still the slow-but-small tier, as in the
+  reference.  The sdsl rrr_vector<63> DISK layout is unaffected
+  (io/sdsl.py has an independent codec).
 * `MEFBV`      — sbwt::mod_ef_vector (MEF.hpp:85-131,376-389): buckets of
   2^wl bits; all-zero buckets dropped; `upper` marks non-empty buckets,
   `lower` concatenates kept buckets; rank = upper-rank + lower-rank =
@@ -86,8 +93,34 @@ class PlainBV:
 # RRR (block-compressed)
 # ---------------------------------------------------------------------------
 
-_BLK = 63  # bits per block (like sdsl::rrr_vector<63>: minimizes class+ceil overhead)
-_SBB = 16  # blocks per superblock (1008 bits)
+_BLK15 = 15  # bits per block: offset->pattern decode is a 2^15-entry LUT
+_SBB15 = 16  # blocks per superblock (240 bits); 16 x 4-bit classes = 2 words
+
+# (class, offset) <-> pattern permutation tables over all 2^15 patterns:
+# offset of a pattern = its numeric rank among same-popcount patterns.
+# Both encode (pattern -> offset) and decode (class base + offset ->
+# pattern) are single table lookups — no combinatorial unranking.
+_P15 = np.arange(1 << _BLK15, dtype=np.int64)
+_CLS15 = np.zeros(1 << _BLK15, dtype=np.int64)
+for _b in range(_BLK15):
+    _CLS15 += (_P15 >> _b) & 1
+# class_base[c] = index of the first class-c pattern in class-sorted order
+_CLS_COUNT15 = np.bincount(_CLS15, minlength=_BLK15 + 1)
+_CLS_BASE15 = np.zeros(_BLK15 + 2, dtype=np.int64)
+_CLS_BASE15[1:] = np.cumsum(_CLS_COUNT15)
+_order = np.argsort(_CLS15, kind="stable")  # patterns grouped by class, numeric within
+_PATTERN15 = _order.astype(np.int32)  # LUT: class_base[c] + offset -> pattern
+_OFFSET15 = np.empty(1 << _BLK15, dtype=np.int64)  # pattern -> offset within class
+_OFFSET15[_order] = np.arange(1 << _BLK15, dtype=np.int64) - _CLS_BASE15[_CLS15[_order]]
+# offset widths per class: ceil(log2 C(15, c)); max 13 bits
+_WIDTH15 = np.array(
+    [max(1, int(np.ceil(np.log2(max(1, c))))) if c > 1 else 0 for c in _CLS_COUNT15[: _BLK15 + 1]],
+    dtype=np.int32,
+)
+
+_OLD_BLK = 63  # legacy round-3 payload format (63-bit blocks)
+_BLK = _OLD_BLK  # back-compat alias for the legacy host codec below
+_SBB = 16  # legacy blocks per superblock (1008 bits)
 
 # C(i, j) for i in 0..62, j in 0..63 (int64 on host for exact encode;
 # C(62,31) = 4.6e17 fits in 63 bits)
@@ -150,239 +183,252 @@ def _split64(v: np.ndarray):
     )
 
 
+# offset widths packed as nibbles into two uint32 constants (classes 0..7
+# in _W15LO, 8..15 in _W15HI): width lookup is pure VPU shift/mask
+_W15LO = np.uint32(sum(int(_WIDTH15[c]) << (4 * c) for c in range(8)))
+_W15HI = np.uint32(sum(int(_WIDTH15[c]) << (4 * (c - 8)) for c in range(8, 16)))
+
+
+def _width15_of(cls):
+    """Offset width for classes cls (int32, 0..15) — no table gather."""
+    c = cls.astype(jnp.uint32)
+    lo = _W15LO >> (4 * c)
+    hi = _W15HI >> (4 * (c - np.uint32(8)))
+    return (jnp.where(cls < 8, lo, hi) & np.uint32(15)).astype(jnp.uint32)
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["meta", "offs", "binom_hi", "binom_lo", "widths"],
+    data_fields=["meta", "offs", "lut", "base"],
     meta_fields=["n_bits"],
 )
 @dataclass(frozen=True)
 class RRRBV:
-    """RRR over 63-bit blocks: per-superblock metadata row [6 int32] =
-    (cum rank, offset bit ptr, 3 words of 16x6-bit packed classes, pad),
-    plus the packed variable-width offset bit stream.  Offsets are up to
-    60 bits, handled on device as emulated (hi, lo) uint32 pairs."""
+    """RRR over 15-bit blocks: per-superblock metadata row [4 int32] =
+    (cum rank, offset bit ptr, 2 words of 16x4-bit packed classes), a
+    packed variable-width offset stream (offsets <= 13 bits), and the
+    shared 2^15-entry offset->pattern LUT.  rank(pos) = meta row gather
+    + 2 offset-word gathers + 1 LUT gather + VPU popcount."""
 
-    meta: jax.Array  # int32 [n_sb, 6]
+    meta: jax.Array  # int32 [n_sb, 4]
     offs: jax.Array  # int32 [n_off_words] packed offset stream
-    binom_hi: jax.Array  # int32 [63, 64] high halves of C(i, j)
-    binom_lo: jax.Array  # int32 [63, 64] low halves
-    widths: jax.Array  # int32 [64]
+    lut: jax.Array  # int32 [2^15]: class_base + offset -> 15-bit pattern
+    base: jax.Array  # int32 [16]: first LUT index of each class
     n_bits: int
 
     @classmethod
     def build(cls, bools: np.ndarray) -> "RRRBV":
         bools = np.asarray(bools, dtype=bool)
         n = len(bools)
-        classes, offsets = _rrr_encode_host(bools)
-        B = len(classes)
-        n_sb = (B + _SBB - 1) // _SBB + 1  # +1 pad row so pos == n_bits works
-        cls_pad = np.zeros(n_sb * _SBB, dtype=np.int64)
-        cls_pad[:B] = classes
-        widths = _WIDTHS[cls_pad]
-        bit_pos = np.concatenate([[0], np.cumsum(widths.astype(np.int64))])
-        total_bits = int(bit_pos[-1])
+        B = max(1, (n + _BLK15 - 1) // _BLK15)
+        padded = np.zeros(B * _BLK15, dtype=bool)
+        padded[:n] = bools
+        # pattern per block, bit j of a block = bit blk*15+j (LSB-first)
+        pats = (
+            padded.reshape(B, _BLK15).astype(np.int64)
+            << np.arange(_BLK15, dtype=np.int64)
+        ).sum(axis=1)
+        classes = _CLS15[pats]
+        offsets = _OFFSET15[pats]
+        return cls._from_blocks(classes, offsets, n)
 
-        # pack offsets (<= 60 bits) into a uint32 stream; each value touches
-        # at most 3 words
-        n_words = total_bits // 32 + 3
+    @classmethod
+    def _from_blocks(cls, classes: np.ndarray, offsets: np.ndarray, n: int) -> "RRRBV":
+        B = len(classes)
+        # +1 pad superblock so blk = n_bits // 15 always has a meta row
+        n_sb = (B + _SBB15 - 1) // _SBB15 + 1
+        cls_pad = np.zeros(n_sb * _SBB15, dtype=np.int64)
+        cls_pad[:B] = classes
+        widths = _WIDTH15[cls_pad].astype(np.int64)
+        bit_pos = np.concatenate([[0], np.cumsum(widths)])
+        total_bits = int(bit_pos[-1])
+        cum = np.concatenate([[0], np.cumsum(cls_pad)]).astype(np.int64)
+        if cum[-1] >= 2**31 or total_bits >= 2**31:
+            raise ValueError("RRR vector too large for int32 device rank")
+
+        # pack the (<= 13 bit) offsets; each value touches at most 2 words
+        n_words = total_bits // 32 + 2
         stream = np.zeros(n_words, dtype=np.uint64)
-        starts = bit_pos[: n_sb * _SBB]
-        offs64 = np.zeros(n_sb * _SBB, dtype=np.uint64)
+        starts = bit_pos[: n_sb * _SBB15]
+        offs64 = np.zeros(n_sb * _SBB15, dtype=np.uint64)
         offs64[:B] = offsets.astype(np.uint64)
         w = starts // 32
         sh = (starts % 32).astype(np.uint64)
         lo = (offs64 << sh) & np.uint64(0xFFFFFFFF)
-        mid = (offs64 >> (np.uint64(32) - sh)) & np.uint64(0xFFFFFFFF)
-        mid[sh == 0] = (offs64 >> np.uint64(32))[sh == 0]
-        hi = np.where(
-            sh > 0, offs64 >> (np.uint64(64) - sh), np.uint64(0)
-        )
+        mid = np.where(sh > 0, offs64 >> (np.uint64(32) - sh), np.uint64(0))
         np.bitwise_or.at(stream, w, lo)
         np.bitwise_or.at(stream, w + 1, mid)
-        np.bitwise_or.at(stream, w + 2, hi)
         offs_words = stream.astype(np.uint32).view(np.int32)
 
-        # superblock meta
-        cum = np.concatenate([[0], np.cumsum(cls_pad)]).astype(np.int64)
-        meta = np.zeros((n_sb, 6), dtype=np.int32)
-        for s in range(n_sb):
-            meta[s, 0] = cum[s * _SBB]
-            meta[s, 1] = bit_pos[s * _SBB]
-        cls_mat = cls_pad.reshape(n_sb, _SBB)
-        # pack 16 classes x 6 bits into 3 int32 words
-        packed = np.zeros((n_sb, 3), dtype=np.uint64)
-        for j in range(_SBB):
-            word = (j * 6) // 32
-            shift = (j * 6) % 32
-            packed[:, word] |= cls_mat[:, j].astype(np.uint64) << np.uint64(shift)
-            if shift > 26:
-                packed[:, min(word + 1, 2)] |= cls_mat[:, j].astype(
-                    np.uint64
-                ) >> np.uint64(32 - shift)
-        meta[:, 2:5] = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        if cum[-1] >= 2**31 or total_bits >= 2**31:
-            raise ValueError("RRR vector too large for int32 device rank")
-        bh, bl = _split64(_BINOM.astype(np.uint64))
+        meta = np.zeros((n_sb, 4), dtype=np.int32)
+        meta[:, 0] = cum[np.arange(n_sb) * _SBB15]
+        meta[:, 1] = bit_pos[np.arange(n_sb) * _SBB15]
+        cls_mat = cls_pad.reshape(n_sb, _SBB15)
+        packed = np.zeros((n_sb, 2), dtype=np.uint64)
+        for j in range(_SBB15):
+            packed[:, j // 8] |= cls_mat[:, j].astype(np.uint64) << np.uint64(4 * (j % 8))
+        meta[:, 2:4] = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         return cls(
             meta=jnp.asarray(meta),
             offs=jnp.asarray(offs_words),
-            binom_hi=jnp.asarray(bh.view(np.int32)),
-            binom_lo=jnp.asarray(bl.view(np.int32)),
-            widths=jnp.asarray(_WIDTHS),
+            lut=jnp.asarray(_PATTERN15),
+            base=jnp.asarray(_CLS_BASE15[:16], dtype=jnp.int32),
             n_bits=n,
         )
 
     # ---- device ----
 
-    def _block_info(self, pos):
-        """For positions pos: (class, offset bit pos) of the containing block
-        and the rank before that block."""
-        blk = pos // _BLK
+    def _pattern_at(self, pos):
+        """(pattern uint32 of the containing block, in-block offset o,
+        rank before the block) — the shared path of rank and get."""
+        blk = pos // _BLK15
         sb = blk >> 4
-        j = blk & 15  # block index within superblock
-        row = self.meta[sb]  # [..., 6] gather
+        j = blk & 15
+        row = self.meta[sb]  # [..., 4] one 16-byte gather
         cum0 = row[..., 0]
         optr = row[..., 1]
-        # unpack the 16 6-bit classes from words 2..4
-        cls_words = row[..., 2:5].astype(jnp.uint32)  # [..., 3]
-        jj = jnp.arange(_SBB, dtype=jnp.int32)  # [16]
-        wordi = (jj * 6) // 32
-        shift = ((jj * 6) % 32).astype(jnp.uint32)
-        lo = jnp.take_along_axis(
-            cls_words, jnp.broadcast_to(wordi, pos.shape + (_SBB,)), axis=-1
-        )
-        hi_i = jnp.minimum(wordi + 1, 2)
-        hi = jnp.take_along_axis(
-            cls_words, jnp.broadcast_to(hi_i, pos.shape + (_SBB,)), axis=-1
-        )
-        hi_sh = jnp.where(shift > 0, np.uint32(32) - shift, np.uint32(31))
-        hi_part = jnp.where(shift > 26, hi << hi_sh, 0)
-        six = (((lo >> shift) | hi_part) & np.uint32(63)).astype(jnp.int32)
-        mask = jnp.arange(_SBB, dtype=jnp.int32) < j[..., None]
+        w0c = row[..., 2].astype(jnp.uint32)
+        w1c = row[..., 3].astype(jnp.uint32)
+        # unpack 16 4-bit classes: pure VPU shifts, no gathers
+        six = jnp.stack(
+            [(w0c >> np.uint32(4 * t)) & np.uint32(15) for t in range(8)]
+            + [(w1c >> np.uint32(4 * t)) & np.uint32(15) for t in range(8)],
+            axis=-1,
+        ).astype(jnp.int32)  # [..., 16]
+        mask = jnp.arange(_SBB15, dtype=jnp.int32) < j[..., None]
         cls_sum = jnp.sum(jnp.where(mask, six, 0), axis=-1)
-        my_cls = jnp.take_along_axis(six, j[..., None], axis=-1)[..., 0]
-        w_sum = jnp.sum(jnp.where(mask, self.widths[six], 0), axis=-1)
+        my_cls = jnp.take_along_axis(six, (j & 15)[..., None], axis=-1)[..., 0]
+        w_sum = jnp.sum(
+            jnp.where(mask, _width15_of(six).astype(jnp.int32), 0), axis=-1
+        )
         bitp = optr + w_sum
-        return my_cls, bitp, cum0 + cls_sum
-
-    def _read_offset(self, bitp, cls):
-        """Extract the (<= 60 bit) offset as an emulated (hi, lo) uint32 pair."""
         wi = bitp >> 5
         sh = (bitp & 31).astype(jnp.uint32)
-        w0 = self.offs[wi].astype(jnp.uint32)
-        w1 = self.offs[wi + 1].astype(jnp.uint32)
-        w2 = self.offs[wi + 2].astype(jnp.uint32)
-        inv = np.uint32(32) - sh
-        lo = (w0 >> sh) | jnp.where(sh > 0, w1 << inv, np.uint32(0))
-        hi = jnp.where(sh > 0, (w1 >> sh) | (w2 << inv), w1)
-        width = self.widths[cls].astype(jnp.uint32)
-        wlo = jnp.minimum(width, np.uint32(32))
-        whi = width - wlo
-        mask_lo = jnp.where(wlo >= 32, np.uint32(0xFFFFFFFF), (_ONE << wlo) - _ONE)
-        mask_hi = (_ONE << whi) - _ONE
-        return hi & mask_hi, lo & mask_lo
-
-    def _decode_prefix_pop(self, cls, off_hi, off_lo, upto):
-        """popcount of block bits at positions < upto (combinatorial unrank
-        with emulated 64-bit compares/subtracts)."""
-
-        def step(i, carry):
-            oh, ol, ones, acc = carry
-            ipos = _BLK - 1 - i
-            ch = self.binom_hi[ipos, jnp.clip(ones, 0, _BLK)].astype(jnp.uint32)
-            cl = self.binom_lo[ipos, jnp.clip(ones, 0, _BLK)].astype(jnp.uint32)
-            ge = (oh > ch) | ((oh == ch) & (ol >= cl))
-            is_one = ge & (ones > 0)
-            borrow = (ol < cl).astype(jnp.uint32)
-            nl = ol - cl
-            nh = oh - ch - borrow
-            oh = jnp.where(is_one, nh, oh)
-            ol = jnp.where(is_one, nl, ol)
-            ones = jnp.where(is_one, ones - 1, ones)
-            acc = acc + jnp.where(is_one & (ipos < upto), 1, 0)
-            return oh, ol, ones, acc
-
-        _, _, _, acc = lax.fori_loop(
-            0, _BLK, step, (off_hi, off_lo, cls, jnp.zeros_like(cls))
-        )
-        return acc
+        s0 = self.offs[wi].astype(jnp.uint32)
+        s1 = self.offs[wi + 1].astype(jnp.uint32)
+        raw = (s0 >> sh) | jnp.where(sh > 0, s1 << (np.uint32(32) - sh), np.uint32(0))
+        width = _width15_of(my_cls)
+        off = (raw & ((_ONE << width) - _ONE)).astype(jnp.int32)
+        pat = self.lut[self.base[my_cls] + off].astype(jnp.uint32)
+        o = pos - blk * _BLK15
+        return pat, o, cum0 + cls_sum
 
     def rank(self, pos):
         pos = jnp.asarray(pos, dtype=jnp.int32)
-        cls, bitp, before = self._block_info(pos)
-        o = pos - (pos // _BLK) * _BLK
-        oh, ol = self._read_offset(bitp, cls)
-        inblock = self._decode_prefix_pop(cls, oh, ol, o)
-        return before + jnp.where(o > 0, inblock, 0)
+        pat, o, before = self._pattern_at(pos)
+        inblock = jax.lax.population_count(
+            pat & ((_ONE << o.astype(jnp.uint32)) - _ONE)
+        ).astype(jnp.int32)
+        return before + inblock
 
     def get(self, pos):
         pos = jnp.asarray(pos, dtype=jnp.int32)
-        return self.rank(pos + 1) - self.rank(pos)
+        pat, o, _ = self._pattern_at(pos)
+        return ((pat >> o.astype(jnp.uint32)) & _ONE).astype(jnp.int32)
 
     # ---- host ----
 
-    def to_bools(self) -> np.ndarray:
+    def _host_blocks(self):
+        """(classes int64 [n_sb*16], offsets int64 [n_sb*16]) decoded from
+        the device arrays with vectorized numpy."""
         meta = np.asarray(self.meta)
         n_sb = meta.shape[0]
         cls_words = (
-            np.ascontiguousarray(meta[:, 2:5]).view(np.uint32).reshape(n_sb, 3).astype(np.uint64)
+            np.ascontiguousarray(meta[:, 2:4]).view(np.uint32).reshape(n_sb, 2).astype(np.uint64)
         )
-        classes = np.zeros((n_sb, _SBB), dtype=np.int64)
-        for j in range(_SBB):
-            word = (j * 6) // 32
-            shift = (j * 6) % 32
-            v = cls_words[:, word] >> np.uint64(shift)
-            if shift > 26:
-                v |= cls_words[:, min(word + 1, 2)] << np.uint64(32 - shift)
-            classes[:, j] = v & 63
+        classes = np.zeros((n_sb, _SBB15), dtype=np.int64)
+        for j in range(_SBB15):
+            classes[:, j] = (cls_words[:, j // 8] >> np.uint64(4 * (j % 8))) & 15
         classes = classes.ravel()
-        widths = _WIDTHS[classes].astype(np.int64)
+        widths = _WIDTH15[classes].astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
         stream = np.asarray(self.offs).view(np.uint32).astype(np.uint64)
-        stream = np.concatenate([stream, np.zeros(3, dtype=np.uint64)])
+        stream = np.concatenate([stream, np.zeros(2, dtype=np.uint64)])
         wi = starts // 32
         sh = (starts % 32).astype(np.uint64)
-        w0 = stream[wi]
-        w1 = stream[wi + 1]
-        w2 = stream[wi + 2]
-        inv = np.uint64(32) - sh
-        lo = (w0 >> sh) | np.where(sh > 0, w1 << inv, np.uint64(0))
-        lo &= np.uint64(0xFFFFFFFF)
-        hi = np.where(sh > 0, (w1 >> sh) | ((w2 << inv) & np.uint64(0xFFFFFFFF)), w1)
-        hi &= np.uint64(0xFFFFFFFF)
-        raw = lo | (hi << np.uint64(32))
-        masks = np.where(
-            widths >= 64,
-            np.uint64(0xFFFFFFFFFFFFFFFF),
-            (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1),
+        raw = (stream[wi] >> sh) | np.where(
+            sh > 0, stream[wi + 1] << (np.uint64(32) - sh), np.uint64(0)
         )
-        offsets = (raw & masks).astype(np.int64)
-        n_blocks = max(1, (self.n_bits + _BLK - 1) // _BLK)
-        return _rrr_decode_host(
-            classes[:n_blocks].astype(np.uint8), offsets[:n_blocks], self.n_bits
+        offsets = (raw & ((np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1))).astype(
+            np.int64
         )
+        return classes, offsets
+
+    def to_bools(self) -> np.ndarray:
+        classes, offsets = self._host_blocks()
+        n_blocks = max(1, (self.n_bits + _BLK15 - 1) // _BLK15)
+        pats = _PATTERN15[_CLS_BASE15[classes[:n_blocks]] + offsets[:n_blocks]]
+        bits = (pats[:, None] >> np.arange(_BLK15, dtype=np.int64)) & 1
+        return bits.astype(bool).ravel()[: self.n_bits]
 
     def payload(self) -> dict:
         return {
-            "meta": np.asarray(self.meta),
-            "offs": np.asarray(self.offs),
+            "meta15": np.asarray(self.meta),
+            "offs15": np.asarray(self.offs),
             "n_bits": np.int64(self.n_bits),
         }
 
     @classmethod
     def from_payload(cls, p: dict) -> "RRRBV":
-        bh, bl = _split64(_BINOM.astype(np.uint64))
-        return cls(
-            meta=jnp.asarray(p["meta"]),
-            offs=jnp.asarray(p["offs"]),
-            binom_hi=jnp.asarray(bh.view(np.int32)),
-            binom_lo=jnp.asarray(bl.view(np.int32)),
-            widths=jnp.asarray(_WIDTHS),
-            n_bits=int(p["n_bits"]),
-        )
+        if "meta15" in p:
+            return cls(
+                meta=jnp.asarray(p["meta15"]),
+                offs=jnp.asarray(p["offs15"]),
+                lut=jnp.asarray(_PATTERN15),
+                base=jnp.asarray(_CLS_BASE15[:16], dtype=jnp.int32),
+                n_bits=int(p["n_bits"]),
+            )
+        # legacy round-3 payload: 63-bit blocks; decode and re-block
+        return cls.build(_legacy_rrr63_to_bools(p))
 
     def size_in_bytes(self) -> int:
+        # the 128 KB pattern LUT is a shared module constant (like sdsl's
+        # static binomial helper tables) and is not per-vector payload
         return int(np.asarray(self.meta).nbytes + np.asarray(self.offs).nbytes)
+
+
+def _legacy_rrr63_to_bools(p: dict) -> np.ndarray:
+    """Decode a round-3 63-bit-block RRR payload {meta, offs, n_bits}."""
+    meta = np.asarray(p["meta"])
+    n_bits = int(p["n_bits"])
+    n_sb = meta.shape[0]
+    cls_words = (
+        np.ascontiguousarray(meta[:, 2:5]).view(np.uint32).reshape(n_sb, 3).astype(np.uint64)
+    )
+    classes = np.zeros((n_sb, _SBB), dtype=np.int64)
+    for j in range(_SBB):
+        word = (j * 6) // 32
+        shift = (j * 6) % 32
+        v = cls_words[:, word] >> np.uint64(shift)
+        if shift > 26:
+            v |= cls_words[:, min(word + 1, 2)] << np.uint64(32 - shift)
+        classes[:, j] = v & 63
+    classes = classes.ravel()
+    widths = _WIDTHS[classes].astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    stream = np.asarray(p["offs"]).view(np.uint32).astype(np.uint64)
+    stream = np.concatenate([stream, np.zeros(3, dtype=np.uint64)])
+    wi = starts // 32
+    sh = (starts % 32).astype(np.uint64)
+    w0 = stream[wi]
+    w1 = stream[wi + 1]
+    w2 = stream[wi + 2]
+    inv = np.uint64(32) - sh
+    lo = (w0 >> sh) | np.where(sh > 0, w1 << inv, np.uint64(0))
+    lo &= np.uint64(0xFFFFFFFF)
+    hi = np.where(sh > 0, (w1 >> sh) | ((w2 << inv) & np.uint64(0xFFFFFFFF)), w1)
+    hi &= np.uint64(0xFFFFFFFF)
+    raw = lo | (hi << np.uint64(32))
+    masks = np.where(
+        widths >= 64,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1),
+    )
+    offsets = (raw & masks).astype(np.int64)
+    n_blocks = max(1, (n_bits + _BLK - 1) // _BLK)
+    return _rrr_decode_host(
+        classes[:n_blocks].astype(np.uint8), offsets[:n_blocks], n_bits
+    )
 
 
 # ---------------------------------------------------------------------------

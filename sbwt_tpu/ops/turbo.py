@@ -445,18 +445,30 @@ def turbo_streaming_search(
     position.  `index` is the base device index, used only for the rare
     exact-LF fallback lanes (non-singleton precalc seeds).
 
-    All fallback loops are count-adaptive: work lists are cumsum-
-    compacted and consumed in chunks sized to keep the gather units at
-    high occupancy (dependent-gather throughput keeps climbing with
-    batch size, docs/DESIGN.md §1), with trip counts derived from the
-    actual counts.
+    Every phase is REGIME-ADAPTIVE (round 4): the position-0 walk, the
+    extension chain and the seed-bitmap classification each pick between
+    a full-width lockstep program (right when most lanes participate —
+    the hit-heavy regime) and a compacted count-adaptive program (right
+    when few do — the miss-heavy regime) with a `lax.cond` on the actual
+    counts; both branches compile once, one executes.  The reference's
+    cost per answer DROPS on misses (a restart usually dies at the
+    precalc seed, SBWT.hh:557-559); this structure gives the TPU engine
+    the same property instead of paying full-width chain gathers on
+    all-dead lanes.
+
+    Restart resolution is POOLED GLOBALLY (not per lane-chunk): the
+    classification stages only mark live restart positions with a
+    transient sentinel, and single wide passes over the whole batch
+    resolve them — narrow per-trip fallback loops at low gather
+    occupancy were the round-3 miss-regime floor.
     """
     from .search import compact_indices, search_batch
 
     def _sync(c):
         # under shard_map with a model-sharded table every gather is a
         # psum; all devices must run every collective the same number of
-        # times, so dynamic trip counts are maximized over the mesh
+        # times, so dynamic trip counts (and the cond predicates) are
+        # maximized over the mesh
         return lax.pmax(c, sync_axes) if sync_axes else c
 
     B, L = codes.shape
@@ -488,12 +500,39 @@ def turbo_streaming_search(
     c0 = _clamp_pow2(B // 8, 8192, 1 << 18) if chunk_slow is None else chunk_slow
     c0 = min(c0, B)
 
-    # position-0 walks stay full-width lockstep: they amortize over P
-    # answers per lane (~4% of an all-miss run), and a compacted variant
-    # measurably costs the hit-heavy path more (narrower walk gathers)
-    # than it saves on misses.
-    col0 = jnp.where(dead0, -1, l0s)
-    col0 = _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
+    # position-0 walk: full-width lockstep while most lanes are live
+    # (maximum gather occupancy), compacted trips when the batch is
+    # miss-heavy and ~94% of lanes died at the seed
+    walkable0 = ~dead0 & ~slow0
+    w0_list, n_walk0 = compact_indices(walkable0)
+    n_walk0 = _sync(n_walk0)
+
+    def walk0_full(_):
+        col0 = jnp.where(dead0, -1, l0s)
+        return _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
+
+    def walk0_compact(_):
+        Cw = min(_clamp_pow2(B // 16, 8192, 1 << 19), B)
+
+        def body(i, col0):
+            lanes = lax.dynamic_slice(w0_list, (i * Cw,), (Cw,))  # sentinel B
+            safe = jnp.clip(lanes, 0, B - 1)
+            win = cc0[safe]  # [Cw, k] row gather
+            col = _walk_rem(
+                turbo,
+                jnp.where(lanes < B, l0s[safe], -1),
+                lambda j: win[:, p + j],
+                rem,
+            )
+            return col0.at[lanes].set(col, mode="drop")
+
+        n_t = _sync((n_walk0 + Cw - 1) // Cw)
+        return lax.fori_loop(0, n_t, body, jnp.full((B,), -1, jnp.int32))
+
+    if rem > 0:
+        col0 = lax.cond(n_walk0 * 2 > B, walk0_full, walk0_compact, 0)
+    else:
+        col0 = jnp.where(dead0, -1, l0s)
     ans0 = jnp.where(slow0, -1, col0)
 
     if use_pw:
@@ -517,24 +556,58 @@ def turbo_streaming_search(
     ans0 = lax.fori_loop(0, n0, body0, ans0)
 
     # ---- chain: A positions per gather ---------------------------------
+    # Full-width scan while most lanes are alive at position 0; compacted
+    # per-lane chunks otherwise — a dead lane's chain answers are all -1
+    # by construction (dead stays dead), so at hit rate ~0 the full-width
+    # scan would burn (P-1)/A gathers per lane proving nothing.  Row
+    # scatters of [C, P] chain results run at GB/s (not the scalar-
+    # scatter rate), measured scratch/r4_probe2.py R1.
     if P > 1:
         n_steps = -(-(P - 1) // A)
-        ext = jnp.concatenate(
-            [codes[:, k:], jnp.full((B, n_steps * A - (P - 1)), -1, codes.dtype)],
-            axis=1,
-        )  # [B, n_steps*A]
-        # [n_steps, A, B]: per-step char arrays, lanes minor
-        xs = ext.T.reshape(n_steps, A, B)
+        pad_cols = n_steps * A - (P - 1)
 
-        def step(col, cs_step):
+        def chain_step(col, cs_step):
             cs = [cs_step[i].astype(jnp.int32) for i in range(A)]
             # extend semantics: lowercase codes 4..7 valid (SBWT.hh:565-566)
             outs = _step(turbo, col, cs, [c >= 0 for c in cs])
             return outs[A - 1], jnp.stack(outs)
 
-        _, outs = lax.scan(step, ans0, xs)  # [n_steps, A, B]
-        rest = outs.reshape(n_steps * A, B)[: P - 1].T  # [B, P-1]
-        ans = jnp.concatenate([ans0[:, None], rest], axis=1)
+        alive0_list, n_alive0 = compact_indices(ans0 >= 0)
+        n_alive0 = _sync(n_alive0)
+
+        def chain_full(_):
+            ext = jnp.concatenate(
+                [codes[:, k:], jnp.full((B, pad_cols), -1, codes.dtype)], axis=1
+            )  # [B, n_steps*A]
+            xs = ext.T.reshape(n_steps, A, B)  # per-step chars, lanes minor
+            _, outs = lax.scan(chain_step, ans0, xs)  # [n_steps, A, B]
+            rest = outs.reshape(n_steps * A, B)[: P - 1].T  # [B, P-1]
+            return jnp.concatenate([ans0[:, None], rest], axis=1)
+
+        def chain_compact(_):
+            Cc = min(_clamp_pow2(B // 4, 8192, 1 << 20), B)
+
+            def body(i, a):
+                lanes = lax.dynamic_slice(alive0_list, (i * Cc,), (Cc,))
+                safe = jnp.clip(lanes, 0, B - 1)
+                rows = codes[safe]  # [Cc, L] row gather
+                ext = jnp.concatenate(
+                    [rows[:, k:], jnp.full((Cc, pad_cols), -1, rows.dtype)], axis=1
+                )
+                xs = ext.T.reshape(n_steps, A, Cc)
+                a0 = jnp.where(lanes < B, ans0[safe], -1)
+                _, outs = lax.scan(chain_step, a0, xs)
+                rest = outs.reshape(n_steps * A, Cc)[: P - 1].T
+                full_rows = jnp.concatenate([a0[:, None], rest], axis=1)
+                return a.at[lanes].set(full_rows, mode="drop")
+
+            n_t = _sync((n_alive0 + Cc - 1) // Cc)
+            init = jnp.concatenate(
+                [ans0[:, None], jnp.full((B, P - 1), -1, jnp.int32)], axis=1
+            )
+            return lax.fori_loop(0, n_t, body, init)
+
+        ans = lax.cond(n_alive0 * 2 > B, chain_full, chain_compact, 0)
     else:
         ans = ans0[:, None]
 
@@ -551,10 +624,10 @@ def turbo_streaming_search(
 
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
+    n_dirty = _sync(n_dirty)
     take0 = min(A, rem) if rem > 0 else 0  # chars walked inline per restart
     rem2 = rem - take0  # chars left for the pooled continue-walk stage
-    cap = 1 << 17 if (use_pw and turbo.seed_bits is not None) else 1 << 16
-    Cn = _clamp_pow2(B // 16, 8192, cap) if chunk_lanes is None else min(chunk_lanes, B)
+    Cn = _clamp_pow2(B // 16, 8192, 1 << 19) if chunk_lanes is None else min(chunk_lanes, B)
     Cn = min(Cn, B)
     # expected live fractions (docs/DESIGN.md: p >= 13 keeps non-singleton
     # seeds ~0.2% and live singletons ~6% of random-read positions) size
@@ -565,69 +638,40 @@ def turbo_streaming_search(
     Ww = min(_clamp_pow2(Cn * P // 16, 8192, 1 << 18), Cn * P)  # walk-chunk width
     Lw = min(_clamp_pow2(Cn * P // 8, 8192, 1 << 19), Cn * P)  # live-chunk width
 
-    def lane_body_bitmap(i, a):
-        """Patch pass with the seed bitmap (the miss-regime fast path):
-        one gather from the tiny bitmap kills dead positions (~94% of
-        random-read positions at p=13); only LIVE positions touch the big
-        precalc table, compacted."""
-        lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
-        safe = jnp.clip(lanes, 0, B - 1)
-        rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
-        un = unresolved[safe] & (lanes[:, None] < B)  # [Cn, P]
-        pidx, vwin = _pidx_vwin(turbo, rows, P)
-        # pair lookup: m = pidx[i] + c_{i+p}*4^p for EVEN positions i
-        # answers liveness of positions i (bit0) and i+1 (bit1) with one
-        # gather — half the gathers of a per-position bitmap.
+    def _classify(rows_i32, un, a_rows):
+        """Seed-bitmap triage of unresolved positions: -1 for dead seeds /
+        invalid windows, SLOW_SENTINEL for live ones (resolved by the
+        pooled stages below).  One pair-bitmap gather per TWO positions."""
+        C_ = rows_i32.shape[0]
+        pidx, vwin = _pidx_vwin(turbo, rows_i32, P)
         Pe = (P + 1) // 2
-        cpair = (jnp.clip(rows[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
-        m = pidx[:, ::2] + cpair * jnp.int32(4**p)  # [Cn, Pe]
+        cpair = (jnp.clip(rows_i32[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
+        m = pidx[:, ::2] + cpair * jnp.int32(4**p)  # [C, Pe]
         w = turbo.seed_bits[jnp.clip(m >> 4, 0)]
         b = (w >> (2 * (m & 15)).astype(jnp.uint32)) & jnp.uint32(3)
         live_pair = jnp.stack([(b & 1) == 1, (b >> 1) == 1], axis=-1)
-        seed_live = live_pair.reshape(Cn, 2 * Pe)[:, :P]
+        seed_live = live_pair.reshape(C_, 2 * Pe)[:, :P]
         alive = seed_live & vwin
-        # dead unresolved positions answer -1 outright
-        new_rows = jnp.where(un & ~alive, -1, a[safe])
-        pw = _pack_rem(rows, P, k, p).reshape(Cn * P, 2)
-        pidx_f = pidx.ravel()
-        lw_list, lc = compact_indices(un & alive)
+        return jnp.where(
+            un & ~alive, -1, jnp.where(un & alive, jnp.int32(SLOW_SENTINEL), a_rows)
+        )
 
-        def live_body(t, nr):
-            sel = lax.dynamic_slice(lw_list, (t * Lw,), (Lw,))  # sentinel Cn*P
-            ok_sel = sel < Cn * P
-            selc = jnp.clip(sel, 0, Cn * P - 1)
-            seed = turbo.precalc[pidx_f[selc]]
-            l0s, r0s = seed[:, 0], seed[:, 1]
-            singleton = l0s == r0s
-            pws = pw[selc]
+    def classify_full(a):
+        # miss-heavy regime: nearly every lane is dirty, so classify the
+        # whole batch in one lockstep pass — no lane gathers, no scatters
+        return _classify(codes.astype(jnp.int32), unresolved, a)
 
-            def char_fn(j):
-                wv = pws[..., 0] if j < 16 else pws[..., 1]
-                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
-                    jnp.int32
-                )
+    def classify_lanes(a):
+        def body(i, a):
+            lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
+            safe = jnp.clip(lanes, 0, B - 1)
+            rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
+            un = unresolved[safe] & (lanes[:, None] < B)
+            new_rows = _classify(rows, un, a[safe])
+            return a.at[lanes].set(new_rows, mode="drop")
 
-            # ONE inline arity-step: on random inputs each character kills
-            # ~3/4 of walkers, so after A characters ~98% of live walks are
-            # already dead (-1).  Survivors take the WALK_CONT encoding and
-            # finish in the pooled second stage; non-singleton seeds
-            # (~0.2% of live positions at p=13) take the SLOW sentinel —
-            # resolving either here would nest narrow latency-bound
-            # sub-loops inside every live trip of every lane trip.
-            cs = [char_fn(j if j < take0 else rem - 1) for j in range(A)]
-            tv = jnp.ones_like(selc, dtype=bool)
-            outs = _step(
-                turbo, jnp.where(singleton & ok_sel, l0s, -1), cs, [tv] * A
-            )
-            col = outs[take0 - 1]
-            if rem2 > 0:
-                col = jnp.where(col >= 0, WALK_CONT - col, -1)
-            res = jnp.where(singleton, col, SLOW_SENTINEL)
-            return nr.ravel().at[sel].set(res, mode="drop").reshape(Cn, P)
-
-        n_lt = _sync((lc + Lw - 1) // Lw)
-        new_rows = lax.fori_loop(0, n_lt, live_body, new_rows)
-        return a.at[lanes].set(new_rows, mode="drop")
+        n_t = _sync((n_dirty + Cn - 1) // Cn)
+        return lax.fori_loop(0, n_t, body, a)
 
     def lane_body(i, a):
         lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
@@ -706,85 +750,151 @@ def turbo_streaming_search(
 
         return a.at[lanes].set(new_rows, mode="drop")
 
-    n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
-    use_bitmap = use_pw and turbo.seed_bits is not None
-    body = lane_body_bitmap if use_bitmap else lane_body
-    ans = lax.fori_loop(0, n_lane_iters, body, ans)
+    use_bitmap = use_pw and turbo.seed_bits is not None and 0 < 2 * p <= 32
+    if not use_bitmap:
+        n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
+        ans = lax.fori_loop(0, n_lane_iters, lane_body, ans)
+    else:
+        # ---- stage 1: bitmap classification -----------------------------
+        # Full-width when most lanes are dirty (the miss regimes: no lane
+        # gathers, no scatters), chunked over compacted dirty lanes when
+        # few are (the hit regimes: don't touch clean lanes at all).
+        ans = lax.cond(n_dirty * 2 > B, classify_full, classify_lanes, ans)
 
-    if use_bitmap:
-        # ---- second stage: pooled pending positions ---------------------
-        # The patch pass leaves two kinds of transient markers instead of
-        # nesting narrow sub-loops per trip: WALK_CONT-encoded mid-walk
-        # columns (singleton walks that survived their first arity-step,
-        # ~2% of live restarts on random input) and SLOW_SENTINEL
-        # (non-singleton seeds, ~0.17% of positions at p=13).  Both are
-        # compacted by LANE (memory-light: no [B*P] work list) and
-        # resolved in a few wide chunks pooled across ALL patch trips.
-        pend_lane = jnp.any(ans <= SLOW_SENTINEL, axis=1)
-        pl_work, n_pl = compact_indices(pend_lane)
-        Cs2 = min(_clamp_pow2(B // 32, 8192, 1 << 17), B)
-        Sw2 = min(1 << 16, Cs2 * P)
-        # continue-walk survivors are ~2% of live restarts (~0.1% of
-        # positions): keep these chunks narrow so the common near-empty
-        # case doesn't pay a padded half-megalane walk
-        Wg = min(_clamp_pow2(Cs2 * P // 128, 8192, 1 << 16), Cs2 * P)
-
-        def pend_body(i, a):
-            lanes = lax.dynamic_slice(pl_work, (i * Cs2,), (Cs2,))  # sentinel B
-            safe = jnp.clip(lanes, 0, B - 1)
-            arows = a[safe]  # [Cs2, P]
-            lane_ok = lanes[:, None] < B
-            rows = codes[safe].astype(jnp.int32)  # [Cs2, L]
-            spw = _pack_rem(rows, P, k, p).reshape(Cs2 * P, 2)
-
-            def char_at(pws, j):
-                wv = pws[..., 0] if j < 16 else pws[..., 1]
-                return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(
-                    jnp.int32
-                )
-
-            if rem2 > 0:
-                # (a) continue-walks: decode the intermediate column and
-                # walk the remaining rem - take0 characters
-                mw = (arows <= WALK_CONT) & lane_ok
-                af = arows.ravel()
-                wl, wcnt = compact_indices(mw)
-
-                def wb(t, nr):
-                    sel = lax.dynamic_slice(wl, (t * Wg,), (Wg,))
-                    selc = jnp.clip(sel, 0, Cs2 * P - 1)
-                    col = (WALK_CONT - af[selc]).astype(jnp.int32)
-                    pws = spw[selc]
-                    col = _walk_rem(
-                        turbo,
-                        jnp.where(sel < Cs2 * P, col, -1),
-                        lambda j: char_at(pws, take0 + j),
-                        rem2,
+        # Packed 2-bit code words per lane: the pooled stages re-derive a
+        # position's whole k-window (pidx + remainder chars) from ONE
+        # 3-word gather out of this 4 B/16-chars array instead of
+        # gathering k int8 codes (measured ~30x slower) or re-packing
+        # per lane-trip as round 3 did.
+        NWq = (L + 15) // 16
+        NW = NWq + 2  # +2 pad words so wi+2 never leaves the lane's row
+        wcols = []
+        for wq in range(NWq):
+            acc = jnp.zeros((B,), jnp.uint32)
+            for t in range(16):
+                j = wq * 16 + t
+                if j < L:
+                    acc = acc | (
+                        (jnp.clip(codes[:, j], 0).astype(jnp.uint32) & 3)
+                        << np.uint32(2 * t)
                     )
-                    return nr.ravel().at[sel].set(col, mode="drop").reshape(Cs2, P)
+            wcols.append(acc)
+        wcols += [jnp.zeros((B,), jnp.uint32)] * 2
+        packed_f = jnp.stack(wcols, axis=1).reshape(-1)  # [B*NW] uint32
 
-                n_w = _sync((wcnt + Wg - 1) // Wg)
-                arows = lax.fori_loop(0, n_w, wb, arows)
+        total = B * P
 
-            # (b) non-singleton seeds: exact LF from the seed interval
-            m = (arows == SLOW_SENTINEL) & lane_ok
-            spidx, _ = _pidx_vwin(turbo, rows, P)
-            spidx_f = spidx.ravel()
-            w_list, wc = compact_indices(m)
+        def win_words(lane, pos):
+            """(chars 0..15, chars 16..31) uint32 pair of the k-window at
+            (lane, pos) — one 3-consecutive-word gather + VPU funnel."""
+            wi = lane * NW + (pos >> 4)
+            off = (2 * (pos & 15)).astype(jnp.uint32)
+            w0 = packed_f[wi]
+            w1 = packed_f[wi + 1]
+            w2 = packed_f[wi + 2]
+            inv = np.uint32(32) - off
+            wlo = (w0 >> off) | jnp.where(off > 0, w1 << inv, np.uint32(0))
+            whi = (w1 >> off) | jnp.where(off > 0, w2 << inv, np.uint32(0))
+            return wlo, whi
 
-            def sb(t, nr):
-                sel = lax.dynamic_slice(w_list, (t * Sw2,), (Sw2,))
-                selc = jnp.clip(sel, 0, Cs2 * P - 1)
-                seed = turbo.precalc[spidx_f[selc]]
-                res = _lf_from_seeds(index, seed[:, 0], seed[:, 1], spw[selc], rem)
-                return nr.ravel().at[sel].set(res, mode="drop").reshape(Cs2, P)
+        def win_split(wlo, whi):
+            """pidx of the first p chars + packed remainder words."""
+            pidx = (wlo & np.uint32((1 << (2 * p)) - 1)).astype(jnp.int32)
+            if 2 * p == 32:
+                pw0, pw1 = whi, jnp.zeros_like(whi)
+            else:
+                sp = np.uint32(2 * p)
+                pw0 = (wlo >> sp) | (whi << (np.uint32(32) - sp))
+                pw1 = whi >> sp
+            return pidx, pw0, pw1
 
-            n2 = _sync((wc + Sw2 - 1) // Sw2)
-            arows = lax.fori_loop(0, n2, sb, arows)
-            return a.at[lanes].set(arows, mode="drop")
+        def char_from(pw0, pw1, j):
+            wv = pw0 if j < 16 else pw1
+            return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(jnp.int32)
 
-        n_pl_iters = _sync((n_pl + Cs2 - 1) // Cs2)
-        ans = lax.fori_loop(0, n_pl_iters, pend_body, ans)
+        # ---- stage 2: pooled seed resolution over ALL live restarts -----
+        # One wide pass over the whole batch: seed gather + ONE inline
+        # arity-step (each char kills ~3/4 of random walkers, so ~98% of
+        # walks finish here).  Survivors take the WALK_CONT encoding,
+        # non-singleton seeds keep the sentinel — both resolved by the
+        # equally-global stages below.  Round 3 ran this per lane-chunk:
+        # 64 narrow trips at low gather occupancy was the hit0 floor.
+        s2_list, s2_cnt = compact_indices(ans == SLOW_SENTINEL)
+        CH = min(_clamp_pow2(total // 8, 1 << 16, 1 << 22), total)
+
+        def s2_body(i, a):
+            sel = lax.dynamic_slice(s2_list, (i * CH,), (CH,))  # sentinel total
+            ok = sel < total
+            selc = jnp.clip(sel, 0, total - 1)
+            lane = selc // P
+            pos = selc % P
+            wlo, whi = win_words(lane, pos)
+            pidx, pw0, pw1 = win_split(wlo, whi)
+            seed = turbo.precalc[pidx]
+            l0, r0 = seed[..., 0], seed[..., 1]
+            singleton = l0 == r0
+            cs = [char_from(pw0, pw1, j if j < take0 else rem - 1) for j in range(A)]
+            tv = jnp.ones_like(selc, dtype=bool)
+            outs = _step(
+                turbo, jnp.where(singleton & (l0 >= 0) & ok, l0, -1), cs, [tv] * A
+            )
+            col = outs[take0 - 1]
+            if rem2 > 0:
+                col = jnp.where(col >= 0, WALK_CONT - col, -1)
+            res = jnp.where(singleton, col, jnp.int32(SLOW_SENTINEL))
+            return a.ravel().at[sel].set(res, mode="drop").reshape(B, P)
+
+        n_s2 = _sync((s2_cnt + CH - 1) // CH)
+        ans = lax.fori_loop(0, n_s2, s2_body, ans)
+
+        # ---- stage 3a: pooled continue-walks (~2% of live restarts) -----
+        if rem2 > 0:
+            w3_list, w3_cnt = compact_indices(ans <= WALK_CONT)
+            W3 = min(_clamp_pow2(total // 128, 8192, 1 << 17), total)
+
+            def s3a_body(i, a):
+                af = a.ravel()
+                sel = lax.dynamic_slice(w3_list, (i * W3,), (W3,))
+                selc = jnp.clip(sel, 0, total - 1)
+                lane = selc // P
+                pos = selc % P
+                wlo, whi = win_words(lane, pos)
+                _, pw0, pw1 = win_split(wlo, whi)
+                col = (WALK_CONT - af[selc]).astype(jnp.int32)
+                col = _walk_rem(
+                    turbo,
+                    jnp.where(sel < total, col, -1),
+                    lambda j: char_from(pw0, pw1, take0 + j),
+                    rem2,
+                )
+                return af.at[sel].set(col, mode="drop").reshape(B, P)
+
+            n3 = _sync((w3_cnt + W3 - 1) // W3)
+            ans = lax.fori_loop(0, n3, s3a_body, ans)
+
+        # ---- stage 3b: pooled exact-LF for non-singleton seeds ----------
+        s4_list, s4_cnt = compact_indices(ans == SLOW_SENTINEL)
+        S4 = min(_clamp_pow2(total // 64, 8192, 1 << 16), total)
+
+        def s3b_body(i, a):
+            sel = lax.dynamic_slice(s4_list, (i * S4,), (S4,))
+            selc = jnp.clip(sel, 0, total - 1)
+            lane = selc // P
+            pos = selc % P
+            wlo, whi = win_words(lane, pos)
+            pidx, pw0, pw1 = win_split(wlo, whi)
+            seed = turbo.precalc[pidx]
+            res = _lf_from_seeds(
+                index,
+                seed[..., 0],
+                seed[..., 1],
+                jnp.stack([pw0, pw1], axis=-1),
+                rem,
+            )
+            return a.ravel().at[sel].set(res, mode="drop").reshape(B, P)
+
+        n4 = _sync((s4_cnt + S4 - 1) // S4)
+        ans = lax.fori_loop(0, n4, s3b_body, ans)
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
