@@ -97,6 +97,15 @@ class TurboIndex:
         masked local gather + psum over the model axis."""
         return self.tbl[idx]
 
+    pos_dtype = jnp.int32
+
+    def succ_from_row(self, row, c, alive):
+        """Successor selected from an arity-1 row by char c (VPU select)."""
+        s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
+        s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
+        s = jnp.where(c <= 1, s01, s23)
+        return jnp.where(alive, s, -1)
+
     def tbl_row_sub(self, col, sub):
         """Row of the arity>=2 table for (column, packed chars sub).
 
@@ -108,6 +117,97 @@ class TurboIndex:
         ceiling because it is int64 throughout, SBWT.hh:44-46; here the
         narrow engine's whole point is 4-byte lanes)."""
         return self.tbl[col * jnp.int32(4**self.arity) + sub]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tbl", "precalc", "C", "seed_bits"],
+    meta_fields=["n_nodes", "k", "precalc_k", "arity"],
+)
+@dataclass(frozen=True)
+class WideTurboIndex:
+    """Arity-1 successor-row tier for the int64 (wide) engine
+    (models/wide.py, n >= 2^31 columns — the reference is int64
+    throughout and flat in n, SBWT.hh:44-46).
+
+    Successor columns are int64 stored as (lo, hi) int32 pairs in an
+    [n, 8] row — cols 2c / 2c+1 for char c — so the chain still costs
+    ONE contiguous row gather per answer (32 B instead of the narrow
+    tier's 16 B); the pair carry is VPU-side like the wide rank rows.
+    32 B/column means a 2^31-column table needs 68.7 GB: single-chip
+    wide-turbo serves the sub-2^31 range the wide engine can be forced
+    onto, and past that the table must be row-sharded over a mesh
+    (parallel/sharded.py; per-shard rebasing keeps shard-local int32
+    viable to 2^31 columns per shard)."""
+
+    tbl: jax.Array  # int32 [n, 8]
+    precalc: jax.Array  # int64 [4^p, 2]
+    C: jax.Array  # int64 [4]
+    n_nodes: int
+    k: int
+    precalc_k: int
+    arity: int = 1
+    seed_bits: jax.Array | None = None
+
+    pos_dtype = jnp.int64
+
+    def tbl_row(self, idx):
+        return self.tbl[idx]
+
+    def succ_from_row(self, row, c, alive):
+        lo01 = jnp.where(c == 0, row[..., 0], row[..., 2])
+        hi01 = jnp.where(c == 0, row[..., 1], row[..., 3])
+        lo23 = jnp.where(c == 2, row[..., 4], row[..., 6])
+        hi23 = jnp.where(c == 2, row[..., 5], row[..., 7])
+        lo = jnp.where(c <= 1, lo01, lo23).astype(jnp.uint32).astype(jnp.int64)
+        hi = jnp.where(c <= 1, hi01, hi23).astype(jnp.int64)
+        s = (hi << 32) | lo  # -1 round-trips: hi = -1, lo = 0xFFFFFFFF
+        return jnp.where(alive, s, jnp.int64(-1))
+
+
+def build_turbo_wide(index, chunk: int = 1 << 22) -> WideTurboIndex:
+    """Arity-1 successor table for a wide (int64) index, built in column
+    chunks so transients stay bounded."""
+    if not index.has_streaming:
+        raise ValueError("turbo engine requires streaming support (suffix group marks)")
+    n = index.n_nodes
+    chunk = min(chunk, max(1024, n))
+
+    @partial(jax.jit, static_argnames=("m",))
+    def _chunk(index, start, m):
+        cols = start + jnp.arange(m, dtype=jnp.int64)
+        s = index.sg_start(jnp.minimum(cols, n - 1))
+        parts = []
+        for c in range(4):
+            cc = jnp.full((m,), c, dtype=jnp.int32)
+            r1, bit = index.extend_rank(cc, s)
+            succ = jnp.where(bit == 1, index.C[c] + r1, jnp.int64(-1))
+            lo = lax.bitcast_convert_type(
+                (succ & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
+            )
+            parts.append(lo)
+            parts.append((succ >> 32).astype(jnp.int32))
+        return jnp.stack(parts, axis=-1)  # [m, 8]
+
+    n_pad = -(-n // chunk) * chunk
+    tbl = jnp.zeros((n_pad, 8), dtype=jnp.int32)
+    for start in range(0, n_pad, chunk):
+        part = _chunk(index, start, chunk)
+        tbl = lax.dynamic_update_slice(tbl, part, (start, 0))
+    seed_bits = (
+        _pack_seed_pair_bits(index.precalc[:, 0] >= 0)
+        if 0 < index.precalc_k <= 14
+        else None
+    )
+    return WideTurboIndex(
+        tbl=tbl,
+        precalc=index.precalc,
+        C=index.C,
+        n_nodes=n,
+        k=index.k,
+        precalc_k=index.precalc_k,
+        seed_bits=seed_bits,
+    )
 
 
 def _pack_2bit_u32(v):
@@ -246,6 +346,10 @@ def build_turbo(index, arity: int = 2) -> TurboIndex:
         raise ValueError("turbo engine requires streaming support (suffix group marks)")
     if arity not in (1, 2, 3):
         raise ValueError("turbo arity must be 1, 2 or 3")
+    if getattr(index, "pos_dtype", jnp.int32) == jnp.int64:
+        # wide (int64) engine: only the arity-1 pair-row tier exists
+        # (arity 2/3 tables would be 256 B / 2 KiB per column)
+        return build_turbo_wide(index)
     check_turbo_index_range(index.n_nodes, arity)
     if arity == 1:
         tbl = jnp.transpose(_succ1_jit(index))  # [n, 4] int32 rows
@@ -281,13 +385,11 @@ def _step(turbo, col, cs, vs):
     Dead lanes (col < 0) stay dead; -1 propagates."""
     A = turbo.arity
     if A == 1:
-        # [n, 4] row layout: one 16-byte row gather + VPU select by char
+        # successor-row layout: one row gather + VPU select by char
+        # (narrow [n, 4] int32; wide [n, 8] (lo, hi) int32 pairs)
         row = turbo.tbl_row(jnp.clip(col, 0))
         c = cs[0] & 3
-        s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
-        s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
-        s = jnp.where(c <= 1, s01, s23)
-        return [jnp.where((col >= 0) & vs[0], s, -1)]
+        return [turbo.succ_from_row(row, c, (col >= 0) & vs[0])]
     sub = jnp.zeros_like(col)
     for c in cs:
         sub = sub * 4 + (c & 3)
@@ -477,6 +579,7 @@ def turbo_streaming_search(
     P = L - k + 1
     rem = k - p
     use_pw = 0 < rem <= 32
+    dt = getattr(turbo, "pos_dtype", jnp.int32)  # int64 for the wide tier
     # codes stay in their input dtype (int8 from the readers) end-to-end;
     # per-step slices are cast on the fly — at multi-million-read batches
     # an up-front int32 copy of the whole batch costs GBs of HBM.
@@ -527,7 +630,7 @@ def turbo_streaming_search(
             return col0.at[lanes].set(col, mode="drop")
 
         n_t = _sync((n_walk0 + Cw - 1) // Cw)
-        return lax.fori_loop(0, n_t, body, jnp.full((B,), -1, jnp.int32))
+        return lax.fori_loop(0, n_t, body, jnp.full((B,), -1, dt))
 
     if rem > 0:
         col0 = lax.cond(n_walk0 * 2 > B, walk0_full, walk0_compact, 0)
@@ -603,7 +706,7 @@ def turbo_streaming_search(
 
             n_t = _sync((n_alive0 + Cc - 1) // Cc)
             init = jnp.concatenate(
-                [ans0[:, None], jnp.full((B, P - 1), -1, jnp.int32)], axis=1
+                [ans0[:, None], jnp.full((B, P - 1), -1, dt)], axis=1
             )
             return lax.fori_loop(0, n_t, body, init)
 
@@ -653,7 +756,7 @@ def turbo_streaming_search(
         seed_live = live_pair.reshape(C_, 2 * Pe)[:, :P]
         alive = seed_live & vwin
         return jnp.where(
-            un & ~alive, -1, jnp.where(un & alive, jnp.int32(SLOW_SENTINEL), a_rows)
+            un & ~alive, dt(-1), jnp.where(un & alive, dt(SLOW_SENTINEL), a_rows)
         )
 
     def classify_full(a):
@@ -841,7 +944,7 @@ def turbo_streaming_search(
             col = outs[take0 - 1]
             if rem2 > 0:
                 col = jnp.where(col >= 0, WALK_CONT - col, -1)
-            res = jnp.where(singleton, col, jnp.int32(SLOW_SENTINEL))
+            res = jnp.where(singleton, col.astype(dt), dt(SLOW_SENTINEL))
             return a.ravel().at[sel].set(res, mode="drop").reshape(B, P)
 
         n_s2 = _sync((s2_cnt + CH - 1) // CH)
@@ -860,7 +963,7 @@ def turbo_streaming_search(
                 pos = selc % P
                 wlo, whi = win_words(lane, pos)
                 _, pw0, pw1 = win_split(wlo, whi)
-                col = (WALK_CONT - af[selc]).astype(jnp.int32)
+                col = (WALK_CONT - af[selc]).astype(dt)
                 col = _walk_rem(
                     turbo,
                     jnp.where(sel < total, col, -1),

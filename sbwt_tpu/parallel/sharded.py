@@ -257,6 +257,8 @@ class TPTurboView:
     arity: int
     axis: str = "model"
 
+    pos_dtype = jnp.int32
+
     def tbl_row(self, idx):
         # arity-1 path: idx IS the column (< n < 2^31) — flat rebasing safe
         shard = lax.axis_index(self.axis).astype(jnp.int32)
@@ -266,6 +268,12 @@ class TPTurboView:
         row = self.tbl_local[jnp.clip(local, 0, rows - 1)]
         row = jnp.where(in_range[..., None], row, 0)
         return lax.psum(row, self.axis)
+
+    def succ_from_row(self, row, c, alive):
+        s01 = jnp.where(c == 0, row[..., 0], row[..., 1])
+        s23 = jnp.where(c == 2, row[..., 2], row[..., 3])
+        s = jnp.where(c <= 1, s01, s23)
+        return jnp.where(alive, s, -1)
 
     def tbl_row_sub(self, col, sub):
         shard = lax.axis_index(self.axis).astype(jnp.int32)
