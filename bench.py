@@ -83,6 +83,46 @@ def sample_read_codes_device(
     return mk(jnp.asarray(genome_codes), jax.random.PRNGKey(seed))
 
 
+def make_repeat_corpus(
+    n_copies: int = 8, base_mbp: float = 0.5, seed: int = 20260821
+):
+    """Pangenome-like corpus: n_copies mutated copies of one base genome
+    (0.1%..1% per-copy divergence, like strains of one species).  Unlike
+    the uniform-random corpus, repeated sequence makes many precalc seeds
+    NON-singleton (docs/DESIGN.md §7 measured 21% of genomic first k-mers
+    hitting non-singleton p=12 seeds on real-genome-like data), which is
+    exactly the turbo fast path's unfriendly case.
+
+    Returns (copies list for the builder, concatenation for sampling)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, size=int(base_mbp * 1e6), dtype=np.int8)
+    copies = []
+    for i in range(n_copies):
+        c = base.copy()
+        rate = 0.001 + 0.009 * i / max(1, n_copies - 1)
+        n_mut = int(len(base) * rate)
+        posn = rng.choice(len(base), size=n_mut, replace=False)
+        c[posn] = (c[posn] + rng.integers(1, 4, size=n_mut)) % 4
+        copies.append(c)
+    return copies, np.concatenate(copies)
+
+
+def _git_commit() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+import os
+
+
 def main():
     import jax
 
@@ -103,33 +143,43 @@ def main():
 
     k = 30
     read_len = 100
-    import os
 
     # 4M reads default: dependent-gather rate keeps climbing to ~8M lanes;
     # override for lane-scaling experiments with SBWT_BENCH_READS.
     n_reads = int(os.environ.get("SBWT_BENCH_READS", 1 << 22))
-    genome_codes = make_corpus_codes()
+    regime = os.environ.get("SBWT_BENCH_REGIME")
+    repeat = bool(regime) and regime.startswith("repeat_")
+    base_regime = regime[len("repeat_"):] if repeat else regime
+    if repeat:
+        build_seqs, genome_codes = make_repeat_corpus()
+        write_log("bench: repeat-heavy corpus (8 mutated copies of 0.5 Mbp)")
+    else:
+        genome_codes = make_corpus_codes()
+        build_seqs = [genome_codes]
     write_log(f"bench: building k={k} index over {len(genome_codes)/1e6:.1f} Mbp")
     t0 = time.perf_counter()
     # p=13 >> log4(n): 94% of random seeds are empty and only 0.17% of
     # positions hit a non-singleton seed (vs 2.4% at p=12), so the turbo
     # fast path covers essentially all restarts and the pos0 LF fallback
     # shrinks 4x (21% -> 5.8% of genomic first k-mers)
-    sbwt = SBWT.build([genome_codes], k, precalc_k=13)
+    sbwt = SBWT.build(build_seqs, k, precalc_k=13)
     build_s = time.perf_counter() - t0
     write_log(
         f"bench: built {sbwt.number_of_kmers()} kmers / {sbwt.number_of_subsets()} subsets "
         f"in {build_s:.1f}s"
     )
-    regime = os.environ.get("SBWT_BENCH_REGIME")
     turbo = None
-    if regime is None or regime.startswith("turbo"):
+    if base_regime is None or base_regime.startswith("turbo"):
         t0 = time.perf_counter()
         # arity-3 successor table: 1 KiB/column (4 GB at this index size),
-        # 0.33 dependent gathers per chain answer.  arity 1 ("uni" row
-        # tier): 16 B/column, 1 row-gather per answer — the tier that
-        # holds >=100M q/s when the big tables cannot fit.
-        arity = 1 if (regime or "").startswith("turbo1") else 3
+        # 0.33 dependent gathers per chain answer.  arity 2: 128 B/column.
+        # arity 1 ("uni" row tier): 16 B/column, 1 row-gather per answer —
+        # the tier that holds >=100M q/s when the big tables cannot fit.
+        arity = 3
+        if (base_regime or "").startswith("turbo1"):
+            arity = 1
+        elif (base_regime or "").startswith("turbo2"):
+            arity = 2
         turbo = build_turbo(sbwt.device_index, arity=arity)
         jax.block_until_ready(turbo.tbl)
         write_log(f"bench: turbo table (arity {arity}) built in {time.perf_counter() - t0:.1f}s")
@@ -156,13 +206,13 @@ def main():
         write_log(f"bench: {queries_per_batch} queries/batch, hit rate {hit:.3f}")
 
         reps = 5
-        t0 = time.perf_counter()
-        acc = 0
+        rep_qps = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             s, _ = run(turbo, sbwt.device_index, codes_d, lengths_d)
-            acc += int(s)
-        dt = time.perf_counter() - t0
-        qps = queries_per_batch * reps / dt
+            int(s)  # scalar fetch forces completion
+            rep_qps.append(queries_per_batch / (time.perf_counter() - t0))
+        qps = sorted(rep_qps)[reps // 2]  # median of reps
 
     # ---- unfriendly regimes ---------------------------------------------
     # SBWT_BENCH_MODE=full measures each regime in its OWN subprocess (the
@@ -170,35 +220,44 @@ def main():
     # back-to-back in one process; fresh processes + the persistent
     # compile cache sidestep it) and writes BENCH_REGIMES.json.
     # SBWT_BENCH_REGIME=<name> (internal) measures one regime and prints
-    # its JSON line.
+    # its JSON line.  Grammar: [repeat_]<engine>_<hitX> with engine in
+    # turbo3|turbo2|turbo1|lf|rrr_lf|mef_lf|split_lf|concat_lf|subsetwt_lf.
+    _VARIANT_ENGINES = {
+        "rrr": "rrr-matrix",
+        "mef": "mef-matrix",
+        "split": "plain-split",
+        "concat": "plain-concat",
+        "subsetwt": "plain-subsetwt",
+    }
     if regime:
         frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
-        if regime.startswith("turbo"):
+        vkey = base_regime.split("_", 1)[0]
+        if base_regime.startswith("turbo"):
             # arity 1's table is 16 B/col (64 MB here), leaving HBM room
             # for 8M lanes — the gather rate still climbs there (105.5M
             # vs 101.2M q/s at 4M); arity 3's 4 GB table makes 8M regress
             n_r = (
                 max(n_reads, 1 << 23)
-                if regime.startswith("turbo1") and "SBWT_BENCH_READS" not in os.environ
+                if base_regime.startswith("turbo1") and "SBWT_BENCH_READS" not in os.environ
                 else n_reads
             )
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
             lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
             fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_r)
-        elif regime.startswith("rrr"):
-            # rrr rank decode makes each LF step several times heavier
-            # than plain-matrix; a single whole-batch dispatch runs long
-            # enough to trip the device watchdog (this cell faulted in
-            # every previous round).  Dispatch in 64K-read chunks instead:
-            # one compile, several short device ops, same total work.
+        elif vkey in _VARIANT_ENGINES:
+            # compressed/structured variants run the generic LF streaming
+            # engine over their own rank structures; dispatch in 64K-read
+            # chunks so one device op stays under the watchdog (the rrr
+            # cell faulted on whole-batch dispatches in rounds 2-3)
+            variant = _VARIANT_ENGINES[vkey]
             n_r = min(n_reads, 1 << 19)
             ch = min(n_r, 1 << 16)
-            write_log("bench: re-encoding rrr-matrix variant")
-            rrr = sbwt.to_variant("rrr-matrix")
+            write_log(f"bench: re-encoding {variant} variant")
+            var = sbwt.to_variant(variant)
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=4, random_fraction=frac)
 
             @jax.jit
-            def run_rrr(index, codes, lengths):
+            def run_var(index, codes, lengths):
                 out = streaming_search(index, codes, lengths)
                 return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
@@ -210,7 +269,7 @@ def main():
                     # chunk is short when n_r % ch != 0 (e.g. a custom
                     # SBWT_BENCH_READS), and a fixed 64K lengths batch
                     # would shape-mismatch the jitted program
-                    s_, h_ = run_rrr(rrr.device_index, c_ch, lengths_d[: c_ch.shape[0]])
+                    s_, h_ = run_var(var.device_index, c_ch, lengths_d[: c_ch.shape[0]])
                     s += int(s_)
                     h += int(h_)
                 return s, h  # python ints: already fetched/completed
@@ -227,7 +286,7 @@ def main():
             fn = lambda cc: run_lf(sbwt.device_index, cc, l_r)
         n_q = n_r * (read_len - k + 1)
         t0 = time.perf_counter()
-        warm, _ = fn(c)  # compile + warm
+        warm, hits_w = fn(c)  # compile + warm
         int(warm)  # scalar fetch forces completion (block_until_ready is
         warm_s = time.perf_counter() - t0  # unreliable on this backend)
         reps_r = 3
@@ -237,22 +296,44 @@ def main():
             s_, _ = fn(c)
             int(s_)
             rep_qps.append(n_q / (time.perf_counter() - t0))
+        srt = sorted(rep_qps)
         print(json.dumps({
-            "regime": regime, "qps": round(max(rep_qps)),
+            "regime": regime,
+            "qps": round(srt[len(srt) // 2]),  # median of reps
+            "qps_min": round(srt[0]), "qps_max": round(srt[-1]),
             "qps_reps": [round(q) for q in rep_qps],
+            "hit_rate": round(int(hits_w) / n_q, 4),
             "warmup_s": round(warm_s, 1), "n_reads": n_r, "reps": reps_r,
+            "commit": _git_commit(), "date": time.strftime("%Y-%m-%d"),
         }))
         return
 
     if os.environ.get("SBWT_BENCH_MODE") == "full":
         import subprocess
 
-        regimes = {"turbo3_hit98": {"qps": round(qps), "reps": reps, "n_reads": n_reads}}
+        srt_h = sorted(rep_qps)
+        regimes = {
+            "turbo3_hit98": {
+                "qps": round(qps), "qps_min": round(srt_h[0]),
+                "qps_max": round(srt_h[-1]),
+                "qps_reps": [round(q) for q in rep_qps],
+                "reps": reps, "n_reads": n_reads,
+                "commit": _git_commit(), "date": time.strftime("%Y-%m-%d"),
+            }
+        }
         names = [
             "turbo3_hit50", "turbo3_hit0",
+            "turbo2_hit98",
             "turbo1_hit98", "turbo1_hit50", "turbo1_hit0",
-            "lf_hit98", "lf_hit50", "lf_hit0", "rrr_lf_hit98",
+            "lf_hit98", "lf_hit50", "lf_hit0",
+            "rrr_lf_hit98", "mef_lf_hit98", "split_lf_hit98",
+            "concat_lf_hit98", "subsetwt_lf_hit98",
+            "repeat_turbo3_hit98", "repeat_turbo3_hit0", "repeat_turbo1_hit98",
         ]
+        keep = (
+            "qps", "qps_min", "qps_max", "qps_reps", "hit_rate",
+            "warmup_s", "n_reads", "reps", "commit", "date",
+        )
         for name in names:
             for attempt in range(3):
                 env = dict(os.environ)
@@ -263,11 +344,7 @@ def main():
                 )
                 if proc.returncode == 0 and proc.stdout.strip():
                     r = json.loads(proc.stdout.strip().splitlines()[-1])
-                    regimes[name] = {
-                        k2: r[k2]
-                        for k2 in ("qps", "qps_reps", "warmup_s", "n_reads", "reps")
-                        if k2 in r
-                    }
+                    regimes[name] = {k2: r[k2] for k2 in keep if k2 in r}
                     write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
                     break
                 regimes[name] = {"error": proc.stderr[-500:]}
