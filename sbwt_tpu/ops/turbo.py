@@ -573,6 +573,7 @@ def turbo_streaming_search(
         # maximized over the mesh
         return lax.pmax(c, sync_axes) if sync_axes else c
 
+
     B, L = codes.shape
     k, p = turbo.k, turbo.precalc_k
     A = turbo.arity
@@ -630,7 +631,9 @@ def turbo_streaming_search(
             return col0.at[lanes].set(col, mode="drop")
 
         n_t = _sync((n_walk0 + Cw - 1) // Cw)
-        return lax.fori_loop(0, n_t, body, jnp.full((B,), -1, dt))
+        # init derived from a varying operand: a fresh constant is
+        # replicated under shard_map -> carry/cond type mismatch
+        return lax.fori_loop(0, n_t, body, jnp.full_like(l0s, -1).astype(dt))
 
     if rem > 0:
         col0 = lax.cond(n_walk0 * 2 > B, walk0_full, walk0_compact, 0)
@@ -706,7 +709,9 @@ def turbo_streaming_search(
 
             n_t = _sync((n_alive0 + Cc - 1) // Cc)
             init = jnp.concatenate(
-                [ans0[:, None], jnp.full((B, P - 1), -1, dt)], axis=1
+                [ans0[:, None],
+                 jnp.broadcast_to(ans0[:, None] * 0 - 1, (B, P - 1)).astype(dt)],
+                axis=1,
             )
             return lax.fori_loop(0, n_t, body, init)
 
