@@ -746,41 +746,6 @@ def turbo_streaming_search(
     Ww = min(_clamp_pow2(Cn * P // 16, 8192, 1 << 18), Cn * P)  # walk-chunk width
     Lw = min(_clamp_pow2(Cn * P // 8, 8192, 1 << 19), Cn * P)  # live-chunk width
 
-    def _classify(rows_i32, un, a_rows):
-        """Seed-bitmap triage of unresolved positions: -1 for dead seeds /
-        invalid windows, SLOW_SENTINEL for live ones (resolved by the
-        pooled stages below).  One pair-bitmap gather per TWO positions."""
-        C_ = rows_i32.shape[0]
-        pidx, vwin = _pidx_vwin(turbo, rows_i32, P)
-        Pe = (P + 1) // 2
-        cpair = (jnp.clip(rows_i32[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
-        m = pidx[:, ::2] + cpair * jnp.int32(4**p)  # [C, Pe]
-        w = turbo.seed_bits[jnp.clip(m >> 4, 0)]
-        b = (w >> (2 * (m & 15)).astype(jnp.uint32)) & jnp.uint32(3)
-        live_pair = jnp.stack([(b & 1) == 1, (b >> 1) == 1], axis=-1)
-        seed_live = live_pair.reshape(C_, 2 * Pe)[:, :P]
-        alive = seed_live & vwin
-        return jnp.where(
-            un & ~alive, dt(-1), jnp.where(un & alive, dt(SLOW_SENTINEL), a_rows)
-        )
-
-    def classify_full(a):
-        # miss-heavy regime: nearly every lane is dirty, so classify the
-        # whole batch in one lockstep pass — no lane gathers, no scatters
-        return _classify(codes.astype(jnp.int32), unresolved, a)
-
-    def classify_lanes(a):
-        def body(i, a):
-            lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
-            safe = jnp.clip(lanes, 0, B - 1)
-            rows = codes[safe].astype(jnp.int32)  # [Cn, L] row gather
-            un = unresolved[safe] & (lanes[:, None] < B)
-            new_rows = _classify(rows, un, a[safe])
-            return a.at[lanes].set(new_rows, mode="drop")
-
-        n_t = _sync((n_dirty + Cn - 1) // Cn)
-        return lax.fori_loop(0, n_t, body, a)
-
     def lane_body(i, a):
         lanes = lax.dynamic_slice(lanes_work, (i * Cn,), (Cn,))  # sentinel B
         safe = jnp.clip(lanes, 0, B - 1)
@@ -858,151 +823,236 @@ def turbo_streaming_search(
 
         return a.at[lanes].set(new_rows, mode="drop")
 
+    def _nth_set_bit64(mlo, mhi, j):
+        """Position (0..63) of the (j+1)-th set bit of the 64-bit mask
+        (mlo, mhi) uint32 pair — pure VPU binary search on popcounts."""
+        clo = lax.population_count(mlo).astype(jnp.int32)
+        hi_side = j >= clo
+        m = jnp.where(hi_side, mhi, mlo)
+        rem_j = j - jnp.where(hi_side, clo, 0)
+        base = jnp.where(hi_side, 32, 0)
+        for w in (16, 8, 4, 2, 1):
+            low = m & np.uint32((1 << w) - 1)
+            c2 = lax.population_count(low).astype(jnp.int32)
+            go = rem_j >= c2
+            m = jnp.where(go, m >> np.uint32(w), low)
+            base = base + jnp.where(go, w, 0)
+            rem_j = rem_j - jnp.where(go, c2, 0)
+        return base
+
+    def _block_sweep(vals_flat, live_flat, win3, resolve, D_):
+        """Resolve every live position of a flat [D_] trip domain.
+
+        Liveness is packed into 64-position blocks; BLOCK ids are
+        compacted (a 64x smaller scatter than a flat position worklist —
+        compact_indices over the whole B*P domain measured 2.8 s at 4M
+        reads, scratch/r4_probe4.log, which round 4's first pooled design
+        paid three times per query batch).  A while-loop then peels one
+        live position per surviving block per level in count-adaptive
+        full-occupancy chunks; the block list shrinks geometrically (at
+        6% live density ~60% of live blocks hold exactly one position).
+        Every live position is visited exactly once — zero wasted
+        resolver gathers."""
+        D64 = -(-D_ // 64) * 64
+        lv = live_flat
+        if D64 != D_:
+            lv = jnp.concatenate([lv, jnp.zeros((D64 - D_,), bool)])
+        bits = lv.reshape(-1, 64)
+        sh = jnp.arange(32, dtype=jnp.uint32)
+        wlo_b = jnp.sum(bits[:, :32].astype(jnp.uint32) << sh, axis=1, dtype=jnp.uint32)
+        whi_b = jnp.sum(bits[:, 32:].astype(jnp.uint32) << sh, axis=1, dtype=jnp.uint32)
+        cnt = (
+            lax.population_count(wlo_b) + lax.population_count(whi_b)
+        ).astype(jnp.int32)
+        ND = cnt.shape[0]
+        ids0, n0 = compact_indices(cnt > 0)
+        Wc = min(_clamp_pow2(max(D_ // 32, 1), 8192, 1 << 21), ND)
+
+        def level_cond(carry):
+            level, count, ids, vals = carry
+            return count > 0
+
+        def level_body(carry):
+            level, count, ids, vals = carry
+            n_ch = (count + Wc - 1) // Wc  # count already mesh-synced
+
+            def chunk(t, vals):
+                sel = lax.dynamic_slice(ids, (t * Wc,), (Wc,))  # sentinel ND
+                ok = sel < ND
+                idc = jnp.clip(sel, 0, ND - 1)
+                mlo = wlo_b[idc]
+                mhi = whi_b[idc]
+                pos64 = _nth_set_bit64(mlo, mhi, level)
+                fp = idc * 64 + pos64
+                okf = ok & (fp < D_)
+                fpc = jnp.clip(fp, 0, D_ - 1)
+                res = resolve(win3[fpc], vals[fpc])
+                return vals.at[jnp.where(okf, fp, D_)].set(res, mode="drop")
+
+            vals = lax.fori_loop(0, n_ch, chunk, vals)
+            keep = (jnp.arange(ids.shape[0]) < count) & (
+                cnt[jnp.clip(ids, 0, ND - 1)] > level + 1
+            )
+            sel2, count2 = compact_indices(keep)
+            ids2 = jnp.where(
+                sel2 < ids.shape[0], ids[jnp.clip(sel2, 0, ids.shape[0] - 1)], ND
+            )
+            return level + 1, _sync(count2), ids2, vals
+
+        _, _, _, vals_flat = lax.while_loop(
+            level_cond, level_body, (n0 * 0, _sync(n0), ids0, vals_flat)
+        )
+        return vals_flat
+
+    def _win3_of(rows, pidx):
+        """Per-position resolver row [C*P, 3] int32: (pidx, packed rem
+        chars lo, hi) — one contiguous 12-byte gather hands a restart
+        everything it needs (seed index + walk characters)."""
+        pw = _pack_rem(rows, P, k, p)  # [C, P, 2] uint32
+        pwi = lax.bitcast_convert_type(pw, jnp.int32)
+        return jnp.concatenate([pidx[..., None], pwi], axis=-1).reshape(-1, 3)
+
+    def _w3_chars(w3):
+        pw0 = lax.bitcast_convert_type(w3[..., 1], jnp.uint32)
+        pw1 = lax.bitcast_convert_type(w3[..., 2], jnp.uint32)
+
+        def char_fn(j):
+            wv = pw0 if j < 16 else pw1
+            return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(jnp.int32)
+
+        return char_fn
+
+    def _resolve_seed(w3, aval):
+        """Seed gather + ONE inline arity-step (each char kills ~3/4 of
+        random walkers, so ~98% of live restarts finish here); survivors
+        take the WALK_CONT encoding, non-singleton seeds keep the
+        sentinel — both resolved by the pend pass below."""
+        seed = turbo.precalc[w3[..., 0]]
+        l0, r0 = seed[..., 0], seed[..., 1]
+        singleton = l0 == r0
+        char_fn = _w3_chars(w3)
+        cs = [char_fn(j if j < take0 else rem - 1) for j in range(A)]
+        tv = jnp.ones(w3.shape[:-1], dtype=bool)
+        outs = _step(turbo, jnp.where(singleton & (l0 >= 0), l0, -1), cs, [tv] * A)
+        col = outs[take0 - 1]
+        if rem2 > 0:
+            col = jnp.where(col >= 0, WALK_CONT - col, -1)
+        return jnp.where(singleton, col.astype(dt), dt(SLOW_SENTINEL))
+
+    def bitmap_trip(lanes, a):
+        """One dirty-lane trip: seed-bitmap triage (one pair gather per
+        TWO positions answers ~94% of random restarts with -1) + the
+        intra-trip block sweep resolving the live remainder."""
+        Cn_ = lanes.shape[0]
+        safe = jnp.clip(lanes, 0, B - 1)
+        rows = codes[safe].astype(jnp.int32)  # [Cn_, L] row gather
+        un = unresolved[safe] & (lanes[:, None] < B)
+        pidx, vwin = _pidx_vwin(turbo, rows, P)
+        Pe = (P + 1) // 2
+        cpair = (jnp.clip(rows[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
+        m = pidx[:, ::2] + cpair * jnp.int32(4**p)
+        w = turbo.seed_bits[jnp.clip(m >> 4, 0)]
+        b = (w >> (2 * (m & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+        live_pair = jnp.stack([(b & 1) == 1, (b >> 1) == 1], axis=-1)
+        seed_live = live_pair.reshape(Cn_, 2 * Pe)[:, :P]
+        alive = un & seed_live & vwin
+        new_rows = jnp.where(un & ~alive, dt(-1), a[safe])
+        win3 = _win3_of(rows, pidx)
+        new_flat = _block_sweep(
+            new_rows.reshape(-1), alive.reshape(-1), win3, _resolve_seed, Cn_ * P
+        )
+        return a.at[lanes].set(new_flat.reshape(Cn_, P), mode="drop")
+
     use_bitmap = use_pw and turbo.seed_bits is not None and 0 < 2 * p <= 32
     if not use_bitmap:
         n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
         ans = lax.fori_loop(0, n_lane_iters, lane_body, ans)
     else:
-        # ---- stage 1: bitmap classification -----------------------------
-        # Full-width when most lanes are dirty (the miss regimes: no lane
-        # gathers, no scatters), chunked over compacted dirty lanes when
-        # few are (the hit regimes: don't touch clean lanes at all).
-        ans = lax.cond(n_dirty * 2 > B, classify_full, classify_lanes, ans)
+        # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
+        # hit-heavy batches have a few dirty lanes (small chunks: one
+        # barely-padded trip); miss-heavy batches have millions (big
+        # chunks amortize per-trip overhead and maximize bitmap-gather
+        # occupancy).  Both loops compile, one runs.
+        def patch_loop(Cn_):
+            def run(a):
+                def body(i, a):
+                    lanes = lax.dynamic_slice(lanes_work, (i * Cn_,), (Cn_,))
+                    return bitmap_trip(lanes, a)
 
-        # Packed 2-bit code words per lane: the pooled stages re-derive a
-        # position's whole k-window (pidx + remainder chars) from ONE
-        # 3-word gather out of this 4 B/16-chars array instead of
-        # gathering k int8 codes (measured ~30x slower) or re-packing
-        # per lane-trip as round 3 did.
-        NWq = (L + 15) // 16
-        NW = NWq + 2  # +2 pad words so wi+2 never leaves the lane's row
-        wcols = []
-        for wq in range(NWq):
-            acc = jnp.zeros((B,), jnp.uint32)
-            for t in range(16):
-                j = wq * 16 + t
-                if j < L:
-                    acc = acc | (
-                        (jnp.clip(codes[:, j], 0).astype(jnp.uint32) & 3)
-                        << np.uint32(2 * t)
-                    )
-            wcols.append(acc)
-        wcols += [jnp.zeros((B,), jnp.uint32)] * 2
-        packed_f = jnp.stack(wcols, axis=1).reshape(-1)  # [B*NW] uint32
+                n_t = _sync((n_dirty + Cn_ - 1) // Cn_)
+                return lax.fori_loop(0, n_t, body, a)
 
-        total = B * P
+            return run
 
-        def win_words(lane, pos):
-            """(chars 0..15, chars 16..31) uint32 pair of the k-window at
-            (lane, pos) — one 3-consecutive-word gather + VPU funnel."""
-            wi = lane * NW + (pos >> 4)
-            off = (2 * (pos & 15)).astype(jnp.uint32)
-            w0 = packed_f[wi]
-            w1 = packed_f[wi + 1]
-            w2 = packed_f[wi + 2]
-            inv = np.uint32(32) - off
-            wlo = (w0 >> off) | jnp.where(off > 0, w1 << inv, np.uint32(0))
-            whi = (w1 >> off) | jnp.where(off > 0, w2 << inv, np.uint32(0))
-            return wlo, whi
-
-        def win_split(wlo, whi):
-            """pidx of the first p chars + packed remainder words."""
-            pidx = (wlo & np.uint32((1 << (2 * p)) - 1)).astype(jnp.int32)
-            if 2 * p == 32:
-                pw0, pw1 = whi, jnp.zeros_like(whi)
-            else:
-                sp = np.uint32(2 * p)
-                pw0 = (wlo >> sp) | (whi << (np.uint32(32) - sp))
-                pw1 = whi >> sp
-            return pidx, pw0, pw1
-
-        def char_from(pw0, pw1, j):
-            wv = pw0 if j < 16 else pw1
-            return ((wv >> np.uint32(2 * (j % 16))) & np.uint32(3)).astype(jnp.int32)
-
-        # ---- stage 2: pooled seed resolution over ALL live restarts -----
-        # One wide pass over the whole batch: seed gather + ONE inline
-        # arity-step (each char kills ~3/4 of random walkers, so ~98% of
-        # walks finish here).  Survivors take the WALK_CONT encoding,
-        # non-singleton seeds keep the sentinel — both resolved by the
-        # equally-global stages below.  Round 3 ran this per lane-chunk:
-        # 64 narrow trips at low gather occupancy was the hit0 floor.
-        s2_list, s2_cnt = compact_indices(ans == SLOW_SENTINEL)
-        CH = min(_clamp_pow2(total // 8, 1 << 16, 1 << 22), total)
-
-        def s2_body(i, a):
-            sel = lax.dynamic_slice(s2_list, (i * CH,), (CH,))  # sentinel total
-            ok = sel < total
-            selc = jnp.clip(sel, 0, total - 1)
-            lane = selc // P
-            pos = selc % P
-            wlo, whi = win_words(lane, pos)
-            pidx, pw0, pw1 = win_split(wlo, whi)
-            seed = turbo.precalc[pidx]
-            l0, r0 = seed[..., 0], seed[..., 1]
-            singleton = l0 == r0
-            cs = [char_from(pw0, pw1, j if j < take0 else rem - 1) for j in range(A)]
-            tv = jnp.ones_like(selc, dtype=bool)
-            outs = _step(
-                turbo, jnp.where(singleton & (l0 >= 0) & ok, l0, -1), cs, [tv] * A
+        small = min(1 << 17, B) if chunk_lanes is None else min(chunk_lanes, B)
+        big = min(1 << 19, B) if chunk_lanes is None else small
+        if small == big:
+            ans = patch_loop(small)(ans)
+        else:
+            ans = lax.cond(
+                n_dirty > (1 << 18), patch_loop(big), patch_loop(small), ans
             )
-            col = outs[take0 - 1]
+
+        # ---- pend pass: continue-walks + non-singleton exact-LF ---------
+        # Survivor counts are tiny (~2% of live restarts; ~0.2% of
+        # positions have non-singleton seeds at p=13), so one small-chunk
+        # lane loop with the same block sweep resolves them pooled.
+        pend = jnp.any(ans <= SLOW_SENTINEL, axis=1)
+        pl_work, n_pl = compact_indices(pend)
+        n_pl = _sync(n_pl)
+        Cp2 = min(1 << 17, B)
+
+        def pend_trip(i, a):
+            lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
+            safe = jnp.clip(lanes, 0, B - 1)
+            lane_ok = lanes[:, None] < B
+            rows = codes[safe].astype(jnp.int32)
+            arows = a[safe]
+            pidx, _ = _pidx_vwin(turbo, rows, P)
+            win3 = _win3_of(rows, pidx)
+            D2 = Cp2 * P
+
             if rem2 > 0:
-                col = jnp.where(col >= 0, WALK_CONT - col, -1)
-            res = jnp.where(singleton, col.astype(dt), dt(SLOW_SENTINEL))
-            return a.ravel().at[sel].set(res, mode="drop").reshape(B, P)
 
-        n_s2 = _sync((s2_cnt + CH - 1) // CH)
-        ans = lax.fori_loop(0, n_s2, s2_body, ans)
+                def resolve_walk(w3, aval):
+                    char_fn = _w3_chars(w3)
+                    col = (WALK_CONT - aval).astype(dt)
+                    return _walk_rem(
+                        turbo, col, lambda j: char_fn(take0 + j), rem2
+                    ).astype(dt)
 
-        # ---- stage 3a: pooled continue-walks (~2% of live restarts) -----
-        if rem2 > 0:
-            w3_list, w3_cnt = compact_indices(ans <= WALK_CONT)
-            W3 = min(_clamp_pow2(total // 128, 8192, 1 << 17), total)
+                arows = _block_sweep(
+                    arows.reshape(-1),
+                    ((arows <= WALK_CONT) & lane_ok).reshape(-1),
+                    win3,
+                    resolve_walk,
+                    D2,
+                ).reshape(Cp2, P)
 
-            def s3a_body(i, a):
-                af = a.ravel()
-                sel = lax.dynamic_slice(w3_list, (i * W3,), (W3,))
-                selc = jnp.clip(sel, 0, total - 1)
-                lane = selc // P
-                pos = selc % P
-                wlo, whi = win_words(lane, pos)
-                _, pw0, pw1 = win_split(wlo, whi)
-                col = (WALK_CONT - af[selc]).astype(dt)
-                col = _walk_rem(
-                    turbo,
-                    jnp.where(sel < total, col, -1),
-                    lambda j: char_from(pw0, pw1, take0 + j),
-                    rem2,
+            def resolve_slow(w3, aval):
+                seed = turbo.precalc[w3[..., 0]]
+                pwu = jnp.stack(
+                    [
+                        lax.bitcast_convert_type(w3[..., 1], jnp.uint32),
+                        lax.bitcast_convert_type(w3[..., 2], jnp.uint32),
+                    ],
+                    axis=-1,
                 )
-                return af.at[sel].set(col, mode="drop").reshape(B, P)
+                return _lf_from_seeds(
+                    index, seed[..., 0], seed[..., 1], pwu, rem
+                ).astype(dt)
 
-            n3 = _sync((w3_cnt + W3 - 1) // W3)
-            ans = lax.fori_loop(0, n3, s3a_body, ans)
+            arows = _block_sweep(
+                arows.reshape(-1),
+                ((arows == SLOW_SENTINEL) & lane_ok).reshape(-1),
+                win3,
+                resolve_slow,
+                D2,
+            ).reshape(Cp2, P)
+            return a.at[lanes].set(arows, mode="drop")
 
-        # ---- stage 3b: pooled exact-LF for non-singleton seeds ----------
-        s4_list, s4_cnt = compact_indices(ans == SLOW_SENTINEL)
-        S4 = min(_clamp_pow2(total // 64, 8192, 1 << 16), total)
-
-        def s3b_body(i, a):
-            sel = lax.dynamic_slice(s4_list, (i * S4,), (S4,))
-            selc = jnp.clip(sel, 0, total - 1)
-            lane = selc // P
-            pos = selc % P
-            wlo, whi = win_words(lane, pos)
-            pidx, pw0, pw1 = win_split(wlo, whi)
-            seed = turbo.precalc[pidx]
-            res = _lf_from_seeds(
-                index,
-                seed[..., 0],
-                seed[..., 1],
-                jnp.stack([pw0, pw1], axis=-1),
-                rem,
-            )
-            return a.ravel().at[sel].set(res, mode="drop").reshape(B, P)
-
-        n4 = _sync((s4_cnt + S4 - 1) // S4)
-        ans = lax.fori_loop(0, n4, s3b_body, ans)
+        n_pt = _sync((n_pl + Cp2 - 1) // Cp2)
+        ans = lax.fori_loop(0, n_pt, pend_trip, ans)
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
