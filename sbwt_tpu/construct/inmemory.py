@@ -136,9 +136,18 @@ def build_from_kmers(kmer_vals: np.ndarray, k: int, streaming_support: bool = Tr
     # --- out-edges per group ------------------------------------------
     # y_c = S . c as a full k-mer; edge exists iff y_c is an indexed k-mer.
     kmer_bits = np.zeros((4, n), dtype=bool)
+    from .. import native
+
     for c in range(4):
-        y = km.append_last(S, np.full(len(S), c, dtype=np.uint8))
-        kmer_bits[c, rep_idx] = _isin_sorted(kmer_vals, y)
+        # scalar c (a full-length char array costs an 8x broadcast temp);
+        # y is sorted (S strictly increasing, same top char appended), so
+        # membership is one native O(n+m) merge instead of per-query
+        # binary search
+        y = km.append_last(S, c)
+        hit = native.merge_isin_u64(kmer_vals, y)
+        if hit is None:
+            hit = _isin_sorted(kmer_vals, y)
+        kmer_bits[c, rep_idx] = hit
 
     # --- sources and dummies ------------------------------------------
     preds = km.drop_last(kmer_vals)  # drop-last value, length k-1

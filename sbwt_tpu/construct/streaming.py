@@ -222,6 +222,33 @@ class _Reader:
         self.f.close()
 
 
+def _merge_probe(p, buf, q, covered):
+    """Membership of sorted queries q in the sorted buffer + coverage
+    marks on matched buffer entries.  Narrow records use one native
+    O(n+m) linear merge (pack.c pk_merge_probe); the numpy fallback (and
+    the wide path) binary-searches per query."""
+    from .. import native
+
+    if not p.wide:
+        lib = native.get_lib()
+        if lib is not None:
+            bufc = np.ascontiguousarray(buf)
+            qc = np.ascontiguousarray(q)
+            found = np.empty(len(q), dtype=np.uint8)
+            cov = np.zeros(len(buf), dtype=np.uint8)
+            lib.pk_merge_probe(
+                bufc.ctypes.data, len(bufc), qc.ctypes.data, len(qc),
+                found.ctypes.data, cov.ctypes.data,
+            )
+            covered |= cov.astype(bool)
+            return found.astype(bool)
+    idx = p.searchsorted(buf, q)
+    idxc = np.minimum(idx, len(buf) - 1)
+    hit = p.neq(buf[idxc], q) == False  # noqa: E712
+    covered[idxc[hit]] = True
+    return hit
+
+
 class _ProbeCursor:
     """Block cursor: membership probes with monotonically increasing keys;
     records passed over without a probe hit are sources (no predecessor)."""
@@ -261,11 +288,8 @@ class _ProbeCursor:
             tail_q = last[None, :] if p.wide else np.array([last], dtype=_U64)
             j = i + int(p.searchsorted(y[i:], tail_q, side="right")[0])
             if j > i:
-                idx = p.searchsorted(self.buf, y[i:j])
-                idxc = np.minimum(idx, len(self.buf) - 1)
-                hit = p.neq(self.buf[idxc], y[i:j]) == False  # noqa: E712
+                hit = _merge_probe(p, self.buf, y[i:j], self.covered)
                 found[i:j] = hit
-                self.covered[idxc[hit]] = True
                 i = j
             if i < len(y):
                 self._advance()
@@ -472,7 +496,10 @@ def build_streaming(
             S_rep = S[rep_pos]
             edge_bytes = np.zeros(len(X), dtype=np.uint8)
             for c in range(4):
-                y = p.append_last(S_rep, np.full(len(S_rep), c, dtype=np.uint8))
+                # scalar c: a full-length char array costs an extra 8x
+                # broadcast temp per block (both append_last variants
+                # accept scalars)
+                y = p.append_last(S_rep, c)
                 found = cursors[c].probe(y)
                 edge_bytes[rep_pos[found]] |= np.uint8(1 << c)
             edge_bytes.tofile(ef)

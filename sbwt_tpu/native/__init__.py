@@ -101,6 +101,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.pk_merge_probe.restype = None
+        lib.pk_merge_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -359,3 +364,20 @@ def pack_windows_u64(codes: np.ndarray, k: int):
         codes.ctypes.data, n, int(k), vals.ctypes.data, valid.ctypes.data
     )
     return vals, valid.astype(bool)
+
+
+def merge_isin_u64(sorted_vals: np.ndarray, sorted_queries: np.ndarray):
+    """Membership of SORTED queries in a sorted uint64 array via one
+    linear merge pass; None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    q = np.ascontiguousarray(sorted_queries, dtype=np.uint64)
+    found = np.empty(len(q), dtype=np.uint8)
+    cov = np.empty(len(a), dtype=np.uint8)  # scratch; coverage unused
+    lib.pk_merge_probe(
+        a.ctypes.data, len(a), q.ctypes.data, len(q),
+        found.ctypes.data, cov.ctypes.data,
+    )
+    return found.astype(bool)

@@ -137,3 +137,25 @@ int64_t pk_pack_windows_u64(const int8_t *codes, int64_t n, int k,
     }
     return m;
 }
+
+/* Linear merge-probe of two sorted uint64 streams: for each query q[j]
+ * (ascending), found[j] = q[j] in buf; buf entries that matched any
+ * query get covered[i] = 1.  Replaces the streaming build's per-chunk
+ * binary searchsorted (O(m log n) random access) with one O(n+m) scan —
+ * the same shape as the reference's cursor stream merge
+ * (kmc_construct.hh:102-238). */
+void pk_merge_probe(const uint64_t *buf, int64_t n, const uint64_t *q,
+                    int64_t m, uint8_t *found, uint8_t *covered)
+{
+    int64_t i = 0;
+    for (int64_t j = 0; j < m; j++) {
+        uint64_t v = q[j];
+        while (i < n && buf[i] < v) i++;
+        if (i < n && buf[i] == v) {
+            found[j] = 1;
+            covered[i] = 1;
+        } else {
+            found[j] = 0;
+        }
+    }
+}

@@ -608,14 +608,17 @@ def turbo_streaming_search(
     # (maximum gather occupancy), compacted trips when the batch is
     # miss-heavy and ~94% of lanes died at the seed
     walkable0 = ~dead0 & ~slow0
-    w0_list, n_walk0 = compact_indices(walkable0)
-    n_walk0 = _sync(n_walk0)
+    # counts for the cond predicates come from cheap VPU reductions; the
+    # compacted work lists (a [B]-sized scatter each) are built only
+    # inside the branch that needs them
+    n_walk0 = _sync(jnp.sum(walkable0.astype(jnp.int32)))
 
     def walk0_full(_):
         col0 = jnp.where(dead0, -1, l0s)
         return _walk_rem(turbo, col0, lambda j: cc0[:, p + j], rem)
 
     def walk0_compact(_):
+        w0_list, _n = compact_indices(walkable0)
         Cw = min(_clamp_pow2(B // 16, 8192, 1 << 19), B)
 
         def body(i, col0):
@@ -678,8 +681,7 @@ def turbo_streaming_search(
             outs = _step(turbo, col, cs, [c >= 0 for c in cs])
             return outs[A - 1], jnp.stack(outs)
 
-        alive0_list, n_alive0 = compact_indices(ans0 >= 0)
-        n_alive0 = _sync(n_alive0)
+        n_alive0 = _sync(jnp.sum((ans0 >= 0).astype(jnp.int32)))
 
         def chain_full(_):
             ext = jnp.concatenate(
@@ -691,6 +693,7 @@ def turbo_streaming_search(
             return jnp.concatenate([ans0[:, None], rest], axis=1)
 
         def chain_compact(_):
+            alive0_list, _n = compact_indices(ans0 >= 0)
             Cc = min(_clamp_pow2(B // 4, 8192, 1 << 20), B)
 
             def body(i, a):
@@ -843,16 +846,18 @@ def turbo_streaming_search(
     def _block_sweep(vals_flat, live_flat, win3, resolve, D_):
         """Resolve every live position of a flat [D_] trip domain.
 
-        Liveness is packed into 64-position blocks; BLOCK ids are
-        compacted (a 64x smaller scatter than a flat position worklist —
-        compact_indices over the whole B*P domain measured 2.8 s at 4M
-        reads, scratch/r4_probe4.log, which round 4's first pooled design
-        paid three times per query batch).  A while-loop then peels one
-        live position per surviving block per level in count-adaptive
-        full-occupancy chunks; the block list shrinks geometrically (at
-        6% live density ~60% of live blocks hold exactly one position).
-        Every live position is visited exactly once — zero wasted
-        resolver gathers."""
+        Liveness is packed into 64-position blocks and the blocks are
+        SORTED by live count (descending): the blocks still holding a
+        j-th live position are then exactly a PREFIX of the sorted order,
+        whose length comes from a count histogram known up front.  All
+        (level, block) work items flatten into one count-exact sequence
+        processed in full-occupancy chunks — no per-position worklist
+        (a flat compact_indices over B*P measured 2.8 s/batch,
+        scratch/r4_probe4.log), no per-level compactions, and no padded
+        per-level trips (the first sweep design padded every level's
+        chunk to the block-table width, which at ~16 levels x 8 trips
+        cost more than the work itself).  Each live position is visited
+        exactly once; resolve(w3, aval) -> new values."""
         D64 = -(-D_ // 64) * 64
         lv = live_flat
         if D64 != D_:
@@ -865,44 +870,41 @@ def turbo_streaming_search(
             lax.population_count(wlo_b) + lax.population_count(whi_b)
         ).astype(jnp.int32)
         ND = cnt.shape[0]
-        ids0, n0 = compact_indices(cnt > 0)
-        Wc = min(_clamp_pow2(max(D_ // 32, 1), 8192, 1 << 21), ND)
+        # blocks sorted by live count, busiest first (ties arbitrary)
+        order = jnp.argsort(-cnt)
+        # level j (the j-th live position of a block) exists for the first
+        # level_counts[j] = #blocks with cnt > j sorted blocks
+        hist = jnp.bincount(cnt, length=65)
+        level_counts = ND - jnp.cumsum(hist)[:64]  # [64] int
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), level_counts.dtype), jnp.cumsum(level_counts)]
+        )  # [65]
+        total_live = offsets[64]
+        Wc = min(_clamp_pow2(max(D_ // 16, 1), 8192, 1 << 21), D64)
 
-        def level_cond(carry):
-            level, count, ids, vals = carry
-            return count > 0
+        def chunk(t, vals):
+            s = t * Wc + jnp.arange(Wc, dtype=jnp.int32)
+            ok = s < total_live
+            # level of slot s = how many level segments start at or
+            # before it ([65]-entry table: VPU-cheap binary search)
+            level = (
+                jnp.searchsorted(offsets, s.astype(offsets.dtype), side="right")
+                - 1
+            ).astype(jnp.int32)
+            levelc = jnp.clip(level, 0, 63)
+            idx = s - offsets[levelc].astype(jnp.int32)
+            block = order[jnp.clip(idx, 0, ND - 1)]
+            mlo = wlo_b[block]
+            mhi = whi_b[block]
+            pos64 = _nth_set_bit64(mlo, mhi, levelc)
+            fp = block * 64 + pos64
+            okf = ok & (fp < D_)
+            fpc = jnp.clip(fp, 0, D_ - 1)
+            res = resolve(win3[fpc], vals[fpc])
+            return vals.at[jnp.where(okf, fp, D_)].set(res, mode="drop")
 
-        def level_body(carry):
-            level, count, ids, vals = carry
-            n_ch = (count + Wc - 1) // Wc  # count already mesh-synced
-
-            def chunk(t, vals):
-                sel = lax.dynamic_slice(ids, (t * Wc,), (Wc,))  # sentinel ND
-                ok = sel < ND
-                idc = jnp.clip(sel, 0, ND - 1)
-                mlo = wlo_b[idc]
-                mhi = whi_b[idc]
-                pos64 = _nth_set_bit64(mlo, mhi, level)
-                fp = idc * 64 + pos64
-                okf = ok & (fp < D_)
-                fpc = jnp.clip(fp, 0, D_ - 1)
-                res = resolve(win3[fpc], vals[fpc])
-                return vals.at[jnp.where(okf, fp, D_)].set(res, mode="drop")
-
-            vals = lax.fori_loop(0, n_ch, chunk, vals)
-            keep = (jnp.arange(ids.shape[0]) < count) & (
-                cnt[jnp.clip(ids, 0, ND - 1)] > level + 1
-            )
-            sel2, count2 = compact_indices(keep)
-            ids2 = jnp.where(
-                sel2 < ids.shape[0], ids[jnp.clip(sel2, 0, ids.shape[0] - 1)], ND
-            )
-            return level + 1, _sync(count2), ids2, vals
-
-        _, _, _, vals_flat = lax.while_loop(
-            level_cond, level_body, (n0 * 0, _sync(n0), ids0, vals_flat)
-        )
-        return vals_flat
+        n_ch = _sync((total_live + Wc - 1) // Wc).astype(jnp.int32)
+        return lax.fori_loop(0, n_ch, chunk, vals_flat)
 
     def _win3_of(rows, pidx):
         """Per-position resolver row [C*P, 3] int32: (pidx, packed rem

@@ -65,7 +65,7 @@ def pack_windows(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     # char at window offset j (0-based from window start) has distance
     # d = k-1-j from the end -> bit position 62-2d = 64-2k+2j
     for j in range(k):
-        vals |= u[j : j + m] << _U64(64 - 2 * k + 2 * j)
+        vals |= u[j : j + m] << (64 - 2 * k + 2 * j)
     bad = (codes < 0).astype(np.int64)
     cs = np.concatenate([[0], np.cumsum(bad)])
     valid = (cs[k:] - cs[:-k]) == 0
@@ -87,22 +87,22 @@ def drop_first(vals: np.ndarray, k: int) -> np.ndarray:
 
 def drop_last(vals: np.ndarray) -> np.ndarray:
     """Remove the last character (Kmer::dropright): shift everything up."""
-    return vals << _U64(2)
+    return vals << 2
 
 
 def append_last(vals: np.ndarray, c) -> np.ndarray:
     """Append character code c at the end (Kmer::appendright)."""
-    return (vals >> _U64(2)) | (np.asarray(c).astype(np.uint64) << _U64(62))
+    return (vals >> 2) | (np.asarray(c).astype(np.uint64) << _U64(62))
 
 
 def first_char(vals: np.ndarray, k: int) -> np.ndarray:
     """Code of the first character of length-k packed k-mers."""
-    return ((vals >> _U64(64 - 2 * k)) & _U64(3)).astype(np.int8)
+    return ((vals >> (64 - 2 * k)) & _U64(3)).astype(np.int8)
 
 
 def last_char(vals: np.ndarray) -> np.ndarray:
     """Code of the last character."""
-    return ((vals >> _U64(62)) & _U64(3)).astype(np.int8)
+    return ((vals >> 62) & _U64(3)).astype(np.int8)
 
 
 def char_at_distance(vals: np.ndarray, d) -> np.ndarray:
