@@ -150,6 +150,10 @@ def main():
     regime = os.environ.get("SBWT_BENCH_REGIME")
     repeat = bool(regime) and regime.startswith("repeat_")
     base_regime = regime[len("repeat_"):] if repeat else regime
+    if base_regime and base_regime.startswith("widet1"):
+        # the int64 (wide) engine tier: x64 is process-global, which is
+        # why every regime runs in its own subprocess
+        jax.config.update("jax_enable_x64", True)
     if repeat:
         build_seqs, genome_codes = make_repeat_corpus()
         write_log("bench: repeat-heavy corpus (8 mutated copies of 0.5 Mbp)")
@@ -232,7 +236,40 @@ def main():
     if regime:
         frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
         vkey = base_regime.split("_", 1)[0]
-        if base_regime.startswith("turbo"):
+        if base_regime.startswith("widet1"):
+            # wide (int64) engine + its arity-1 pair-row turbo tier,
+            # forced onto the bench index (same data, int64 lanes): the
+            # wide engine previously had NO turbo tier and queried at LF
+            # speed only (round-3 VERDICT item 7)
+            from sbwt_tpu.models.wide import from_packed_rows_wide
+
+            di = sbwt.device_index
+            W_ = di.n_words
+            words = np.ascontiguousarray(np.asarray(di.rank_tbl)[:, 0]).view(
+                np.uint32
+            ).reshape(4, W_)
+            sgs_w = (
+                np.ascontiguousarray(np.asarray(di.sgs_tbl)[:, 0]).view(np.uint32)
+                if di.has_streaming
+                else None
+            )
+            wide_ix = from_packed_rows_wide(
+                words, di.n_nodes, sgs_w, k=k, n_kmers=di.n_kmers,
+                precalc_k=di.precalc_k, precalc_table=np.asarray(di.precalc),
+            )
+            wturbo = build_turbo(wide_ix, arity=1)
+            jax.block_until_ready(wturbo.tbl)
+            n_r = n_reads
+            c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
+            lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
+
+            @jax.jit
+            def run_w(t, ix, codes, lengths):
+                out = turbo_streaming_search(t, ix, codes, lengths)
+                return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+            fn = lambda cc: run_w(wturbo, wide_ix, cc, lengths_r)
+        elif base_regime.startswith("turbo"):
             # arity 1's table is 16 B/col (64 MB here), leaving HBM room
             # for 8M lanes — the gather rate still climbs there (105.5M
             # vs 101.2M q/s at 4M); arity 3's 4 GB table makes 8M regress
@@ -329,6 +366,7 @@ def main():
             "rrr_lf_hit98", "mef_lf_hit98", "split_lf_hit98",
             "concat_lf_hit98", "subsetwt_lf_hit98",
             "repeat_turbo3_hit98", "repeat_turbo3_hit0", "repeat_turbo1_hit98",
+            "widet1_hit98", "widet1_hit0",
         ]
         keep = (
             "qps", "qps_min", "qps_max", "qps_reps", "hit_rate",
