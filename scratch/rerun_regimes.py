@@ -29,7 +29,10 @@ for name in sys.argv[1:]:
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             data["regimes"][name] = {
                 k: r[k]
-                for k in ("qps", "qps_reps", "warmup_s", "n_reads", "reps")
+                for k in (
+                    "qps", "qps_min", "qps_max", "qps_reps", "hit_rate",
+                    "warmup_s", "n_reads", "reps", "commit", "date",
+                )
                 if k in r
             }
             print(f"{name}: {r['qps']/1e6:.1f}M q/s ({time.time()-t0:.0f}s)", flush=True)
