@@ -539,6 +539,7 @@ def turbo_streaming_search(
     chunk_lanes=None,
     chunk_slow=None,
     sync_axes=None,
+    _debug_stages=4,
 ):
     """Exact streaming search via the successor table.
 
@@ -959,6 +960,8 @@ def turbo_streaming_search(
         seed_live = live_pair.reshape(Cn_, 2 * Pe)[:, :P]
         alive = un & seed_live & vwin
         new_rows = jnp.where(un & ~alive, dt(-1), a[safe])
+        if _debug_stages < 3:  # classification only (phase probes)
+            return a.at[lanes].set(new_rows, mode="drop")
         win3 = _win3_of(rows, pidx)
         new_flat = _block_sweep(
             new_rows.reshape(-1), alive.reshape(-1), win3, _resolve_seed, Cn_ * P
@@ -969,6 +972,8 @@ def turbo_streaming_search(
     if not use_bitmap:
         n_lane_iters = _sync((n_dirty + Cn - 1) // Cn)
         ans = lax.fori_loop(0, n_lane_iters, lane_body, ans)
+    elif _debug_stages < 2:
+        pass  # chain only (phase probes)
     else:
         # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
         # hit-heavy batches have a few dirty lanes (small chunks: one
@@ -995,6 +1000,11 @@ def turbo_streaming_search(
                 n_dirty > (1 << 18), patch_loop(big), patch_loop(small), ans
             )
 
+        if _debug_stages < 4:
+            if lengths is not None:
+                pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
+                ans = jnp.where(pos_ok, ans, -1)
+            return ans
         # ---- pend pass: continue-walks + non-singleton exact-LF ---------
         # Survivor counts are tiny (~2% of live restarts; ~0.2% of
         # positions have non-singleton seeds at p=13), so one small-chunk
