@@ -844,7 +844,7 @@ def turbo_streaming_search(
             rem_j = rem_j - jnp.where(go, c2, 0)
         return base
 
-    def _block_sweep(vals_flat, live_flat, win3, resolve, D_):
+    def _block_sweep(vals_flat, live_flat, win3, resolve, D_, wc_div=16):
         """Resolve every live position of a flat [D_] trip domain.
 
         Liveness is packed into 64-position blocks and the blocks are
@@ -855,10 +855,11 @@ def turbo_streaming_search(
         processed in full-occupancy chunks — no per-position worklist
         (a flat compact_indices over B*P measured 2.8 s/batch,
         scratch/r4_probe4.log), no per-level compactions, and no padded
-        per-level trips (the first sweep design padded every level's
-        chunk to the block-table width, which at ~16 levels x 8 trips
-        cost more than the work itself).  Each live position is visited
-        exactly once; resolve(w3, aval) -> new values."""
+        per-level trips.  Slot -> (level, block) decoding is pure VPU
+        broadcast-compare against the 64-entry offset table: tiny-table
+        jnp.searchsorted/take lower to DEPENDENT gathers that pay full
+        gather latency per lane (~2.5 s/batch at hit0, r4_probe5).
+        Each live position is visited exactly once."""
         D64 = -(-D_ // 64) * 64
         lv = live_flat
         if D64 != D_:
@@ -867,6 +868,7 @@ def turbo_streaming_search(
         sh = jnp.arange(32, dtype=jnp.uint32)
         wlo_b = jnp.sum(bits[:, :32].astype(jnp.uint32) << sh, axis=1, dtype=jnp.uint32)
         whi_b = jnp.sum(bits[:, 32:].astype(jnp.uint32) << sh, axis=1, dtype=jnp.uint32)
+        wb2 = lax.bitcast_convert_type(jnp.stack([wlo_b, whi_b], axis=-1), jnp.int32)
         cnt = (
             lax.population_count(wlo_b) + lax.population_count(whi_b)
         ).astype(jnp.int32)
@@ -876,27 +878,27 @@ def turbo_streaming_search(
         # level j (the j-th live position of a block) exists for the first
         # level_counts[j] = #blocks with cnt > j sorted blocks
         hist = jnp.bincount(cnt, length=65)
-        level_counts = ND - jnp.cumsum(hist)[:64]  # [64] int
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), level_counts.dtype), jnp.cumsum(level_counts)]
-        )  # [65]
-        total_live = offsets[64]
-        Wc = min(_clamp_pow2(max(D_ // 16, 1), 8192, 1 << 21), D64)
+        level_counts = (ND - jnp.cumsum(hist)[:64]).astype(jnp.int32)  # [64]
+        offsets1 = jnp.cumsum(level_counts).astype(jnp.int32)  # offsets[1:65]
+        total_live = offsets1[63]
+        Wc = min(_clamp_pow2(max(D_ // wc_div, 1), 8192, 1 << 21), D64)
 
         def chunk(t, vals):
             s = t * Wc + jnp.arange(Wc, dtype=jnp.int32)
             ok = s < total_live
-            # level of slot s = how many level segments start at or
-            # before it ([65]-entry table: VPU-cheap binary search)
-            level = (
-                jnp.searchsorted(offsets, s.astype(offsets.dtype), side="right")
-                - 1
-            ).astype(jnp.int32)
+            # slot -> (level, index within level): broadcast compares
+            # against the 64-entry tables, no gathers
+            off_le = offsets1[None, :] <= s[:, None]  # [Wc, 64]
+            level = jnp.sum(off_le.astype(jnp.int32), axis=1)
+            base = jnp.sum(
+                jnp.where(off_le, level_counts[None, :], 0), axis=1
+            )
             levelc = jnp.clip(level, 0, 63)
-            idx = s - offsets[levelc].astype(jnp.int32)
+            idx = s - base
             block = order[jnp.clip(idx, 0, ND - 1)]
-            mlo = wlo_b[block]
-            mhi = whi_b[block]
+            m2 = wb2[block]  # one 8-byte row gather for both mask words
+            mlo = lax.bitcast_convert_type(m2[..., 0], jnp.uint32)
+            mhi = lax.bitcast_convert_type(m2[..., 1], jnp.uint32)
             pos64 = _nth_set_bit64(mlo, mhi, levelc)
             fp = block * 64 + pos64
             okf = ok & (fp < D_)
@@ -1012,7 +1014,7 @@ def turbo_streaming_search(
         pend = jnp.any(ans <= SLOW_SENTINEL, axis=1)
         pl_work, n_pl = compact_indices(pend)
         n_pl = _sync(n_pl)
-        Cp2 = min(1 << 17, B)
+        Cp2 = min(1 << 19, B)
 
         def pend_trip(i, a):
             lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
@@ -1039,6 +1041,7 @@ def turbo_streaming_search(
                     win3,
                     resolve_walk,
                     D2,
+                    wc_div=128,
                 ).reshape(Cp2, P)
 
             def resolve_slow(w3, aval):
@@ -1060,6 +1063,7 @@ def turbo_streaming_search(
                 win3,
                 resolve_slow,
                 D2,
+                wc_div=128,
             ).reshape(Cp2, P)
             return a.at[lanes].set(arows, mode="drop")
 
