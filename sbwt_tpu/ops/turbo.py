@@ -844,7 +844,7 @@ def turbo_streaming_search(
             rem_j = rem_j - jnp.where(go, c2, 0)
         return base
 
-    def _block_sweep(vals_flat, live_flat, win3, resolve, D_, wc_div=16):
+    def _block_sweep(vals_flat, live_flat, resolve, D_, wc_div=16):
         """Resolve every live position of a flat [D_] trip domain.
 
         Liveness is packed into 64-position blocks and the blocks are
@@ -903,7 +903,7 @@ def turbo_streaming_search(
             fp = block * 64 + pos64
             okf = ok & (fp < D_)
             fpc = jnp.clip(fp, 0, D_ - 1)
-            res = resolve(win3[fpc], vals[fpc])
+            res = resolve(fpc, vals[fpc])
             return vals.at[jnp.where(okf, fp, D_)].set(res, mode="drop")
 
         n_ch = _sync((total_live + Wc - 1) // Wc).astype(jnp.int32)
@@ -966,7 +966,10 @@ def turbo_streaming_search(
             return a.at[lanes].set(new_rows, mode="drop")
         win3 = _win3_of(rows, pidx)
         new_flat = _block_sweep(
-            new_rows.reshape(-1), alive.reshape(-1), win3, _resolve_seed, Cn_ * P
+            new_rows.reshape(-1),
+            alive.reshape(-1),
+            lambda fpc, aval: _resolve_seed(win3[fpc], aval),
+            Cn_ * P,
         )
         return a.at[lanes].set(new_flat.reshape(Cn_, P), mode="drop")
 
@@ -977,74 +980,200 @@ def turbo_streaming_search(
     elif _debug_stages < 2:
         pass  # chain only (phase probes)
     else:
-        # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
-        # hit-heavy batches have a few dirty lanes (small chunks: one
-        # barely-padded trip); miss-heavy batches have millions (big
-        # chunks amortize per-trip overhead and maximize bitmap-gather
-        # occupancy).  Both loops compile, one runs.
-        def patch_loop(Cn_):
-            def run(a):
-                def body(i, a):
-                    lanes = lax.dynamic_slice(lanes_work, (i * Cn_,), (Cn_,))
-                    return bitmap_trip(lanes, a)
+        def patch_lanes(a):
+            # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
+            # hit-heavy batches have a few dirty lanes (small chunks: one
+            # barely-padded trip); miss-heavy batches have millions (big
+            # chunks amortize per-trip overhead and maximize bitmap-gather
+            # occupancy).  Both loops compile, one runs.
+            def patch_loop(Cn_):
+                def run(a):
+                    def body(i, a):
+                        lanes = lax.dynamic_slice(lanes_work, (i * Cn_,), (Cn_,))
+                        return bitmap_trip(lanes, a)
 
-                n_t = _sync((n_dirty + Cn_ - 1) // Cn_)
-                return lax.fori_loop(0, n_t, body, a)
+                    n_t = _sync((n_dirty + Cn_ - 1) // Cn_)
+                    return lax.fori_loop(0, n_t, body, a)
 
-            return run
+                return run
 
-        small = min(1 << 17, B) if chunk_lanes is None else min(chunk_lanes, B)
-        big = min(1 << 19, B) if chunk_lanes is None else small
-        if small == big:
-            ans = patch_loop(small)(ans)
-        else:
-            ans = lax.cond(
-                n_dirty > (1 << 18), patch_loop(big), patch_loop(small), ans
+            small = min(1 << 17, B) if chunk_lanes is None else min(chunk_lanes, B)
+            big = min(1 << 19, B) if chunk_lanes is None else small
+            if small == big:
+                a = patch_loop(small)(a)
+            else:
+                ans = lax.cond(
+                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), ans
+                )
+
+            if _debug_stages < 4:
+                if lengths is not None:
+                    pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
+                    ans = jnp.where(pos_ok, ans, -1)
+                return ans
+            # ---- pend pass: continue-walks + non-singleton exact-LF ---------
+            # Survivor counts are tiny (~2% of live restarts; ~0.2% of
+            # positions have non-singleton seeds at p=13), so one small-chunk
+            # lane loop with the same block sweep resolves them pooled.
+            pend = jnp.any(a <= SLOW_SENTINEL, axis=1)
+            pl_work, n_pl = compact_indices(pend)
+            n_pl = _sync(n_pl)
+            Cp2 = min(1 << 19, B)
+
+            def pend_trip(i, a):
+                lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
+                safe = jnp.clip(lanes, 0, B - 1)
+                lane_ok = lanes[:, None] < B
+                rows = codes[safe].astype(jnp.int32)
+                arows = a[safe]
+                pidx, _ = _pidx_vwin(turbo, rows, P)
+                win3 = _win3_of(rows, pidx)
+                D2 = Cp2 * P
+
+                if rem2 > 0:
+
+                    def resolve_walk(w3, aval):
+                        char_fn = _w3_chars(w3)
+                        col = (WALK_CONT - aval).astype(dt)
+                        return _walk_rem(
+                            turbo, col, lambda j: char_fn(take0 + j), rem2
+                        ).astype(dt)
+
+                    arows = _block_sweep(
+                        arows.reshape(-1),
+                        ((arows <= WALK_CONT) & lane_ok).reshape(-1),
+                        lambda fpc, aval: resolve_walk(win3[fpc], aval),
+                        D2,
+                        wc_div=128,
+                    ).reshape(Cp2, P)
+
+                def resolve_slow(w3, aval):
+                    seed = turbo.precalc[w3[..., 0]]
+                    pwu = jnp.stack(
+                        [
+                            lax.bitcast_convert_type(w3[..., 1], jnp.uint32),
+                            lax.bitcast_convert_type(w3[..., 2], jnp.uint32),
+                        ],
+                        axis=-1,
+                    )
+                    return _lf_from_seeds(
+                        index, seed[..., 0], seed[..., 1], pwu, rem
+                    ).astype(dt)
+
+                arows = _block_sweep(
+                    arows.reshape(-1),
+                    ((arows == SLOW_SENTINEL) & lane_ok).reshape(-1),
+                    lambda fpc, aval: resolve_slow(win3[fpc], aval),
+                    D2,
+                    wc_div=128,
+                ).reshape(Cp2, P)
+                return a.at[lanes].set(arows, mode="drop")
+
+            n_pt = _sync((n_pl + Cp2 - 1) // Cp2)
+            a = lax.fori_loop(0, n_pt, pend_trip, a)
+            return a
+
+
+        def patch_global(a):
+            """Miss-heavy branch: nearly every lane is dirty, so classify
+            the WHOLE batch full-width (no lane gathers, no row scatters)
+            and run ONE global block sweep over [B*P].  Resolvers
+            re-derive a position's window (seed index + walk chars) from
+            a packed 2-bit code-word array with one fast-zone 3-word
+            gather — a global (pidx, chars) side table would be 3.6 GB
+            of slow-zone rows."""
+            rows = codes.astype(jnp.int32)
+            pidx, vwin = _pidx_vwin(turbo, rows, P)
+            Pe = (P + 1) // 2
+            cpair = (jnp.clip(rows[:, p : p + P : 2], 0) & 3).astype(jnp.int32)
+            m = pidx[:, ::2] + cpair * jnp.int32(4**p)
+            w = turbo.seed_bits[jnp.clip(m >> 4, 0)]
+            b = (w >> (2 * (m & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+            live_pair = jnp.stack([(b & 1) == 1, (b >> 1) == 1], axis=-1)
+            seed_live = live_pair.reshape(B, 2 * Pe)[:, :P]
+            alive = unresolved & seed_live & vwin
+            new = jnp.where(unresolved & ~alive, dt(-1), a)
+            if _debug_stages < 3:
+                return new
+
+            # packed 2-bit code words per lane (+2 pad words per lane so
+            # a window's 3-word read never crosses into the next lane)
+            NWq = (L + 15) // 16
+            NW = NWq + 2
+            wcols = []
+            for wq in range(NWq):
+                acc = jnp.zeros((B,), jnp.uint32)
+                for t in range(16):
+                    j = wq * 16 + t
+                    if j < L:
+                        acc = acc | (
+                            (jnp.clip(codes[:, j], 0).astype(jnp.uint32) & 3)
+                            << np.uint32(2 * t)
+                        )
+                wcols.append(acc)
+            wcols += [jnp.zeros((B,), jnp.uint32)] * 2
+            packed_f = lax.bitcast_convert_type(
+                jnp.stack(wcols, axis=1), jnp.int32
+            ).reshape(-1)
+            span = jnp.arange(3, dtype=jnp.int32)
+
+            def w3_at(fp):
+                """(pidx, packed rem lo, hi) of flat position fp: one
+                3-consecutive-word gather + VPU funnel shifts."""
+                lane = fp // P
+                pos = fp % P
+                wi = lane * NW + (pos >> 4)
+                ww = lax.bitcast_convert_type(
+                    packed_f[wi[:, None] + span[None, :]], jnp.uint32
+                )
+                off = (2 * (pos & 15)).astype(jnp.uint32)
+                inv = np.uint32(32) - off
+                nz = off > 0
+                wlo = (ww[:, 0] >> off) | jnp.where(nz, ww[:, 1] << inv, np.uint32(0))
+                whi = (ww[:, 1] >> off) | jnp.where(nz, ww[:, 2] << inv, np.uint32(0))
+                pidx_s = (wlo & np.uint32((1 << (2 * p)) - 1)).astype(jnp.int32)
+                if 2 * p == 32:
+                    pw0, pw1 = whi, jnp.zeros_like(whi)
+                else:
+                    sp_ = np.uint32(2 * p)
+                    pw0 = (wlo >> sp_) | (whi << (np.uint32(32) - sp_))
+                    pw1 = whi >> sp_
+                return jnp.stack(
+                    [pidx_s, lax.bitcast_convert_type(pw0, jnp.int32),
+                     lax.bitcast_convert_type(pw1, jnp.int32)], axis=-1
+                )
+
+            new_flat = _block_sweep(
+                new.reshape(-1),
+                alive.reshape(-1),
+                lambda fpc, aval: _resolve_seed(w3_at(fpc), aval),
+                B * P,
             )
+            new = new_flat.reshape(B, P)
+            if _debug_stages < 4:
+                return new
 
-        if _debug_stages < 4:
-            if lengths is not None:
-                pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
-                ans = jnp.where(pos_ok, ans, -1)
-            return ans
-        # ---- pend pass: continue-walks + non-singleton exact-LF ---------
-        # Survivor counts are tiny (~2% of live restarts; ~0.2% of
-        # positions have non-singleton seeds at p=13), so one small-chunk
-        # lane loop with the same block sweep resolves them pooled.
-        pend = jnp.any(ans <= SLOW_SENTINEL, axis=1)
-        pl_work, n_pl = compact_indices(pend)
-        n_pl = _sync(n_pl)
-        Cp2 = min(1 << 19, B)
-
-        def pend_trip(i, a):
-            lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
-            safe = jnp.clip(lanes, 0, B - 1)
-            lane_ok = lanes[:, None] < B
-            rows = codes[safe].astype(jnp.int32)
-            arows = a[safe]
-            pidx, _ = _pidx_vwin(turbo, rows, P)
-            win3 = _win3_of(rows, pidx)
-            D2 = Cp2 * P
-
+            # pend: global sweeps (counts are tiny; masks are VPU)
             if rem2 > 0:
 
-                def resolve_walk(w3, aval):
+                def resolve_walk_g(fpc, aval):
+                    w3 = w3_at(fpc)
                     char_fn = _w3_chars(w3)
                     col = (WALK_CONT - aval).astype(dt)
                     return _walk_rem(
                         turbo, col, lambda j: char_fn(take0 + j), rem2
                     ).astype(dt)
 
-                arows = _block_sweep(
-                    arows.reshape(-1),
-                    ((arows <= WALK_CONT) & lane_ok).reshape(-1),
-                    win3,
-                    resolve_walk,
-                    D2,
-                    wc_div=128,
-                ).reshape(Cp2, P)
+                new = _block_sweep(
+                    new.reshape(-1),
+                    (new <= WALK_CONT).reshape(-1),
+                    resolve_walk_g,
+                    B * P,
+                    wc_div=256,
+                ).reshape(B, P)
 
-            def resolve_slow(w3, aval):
+            def resolve_slow_g(fpc, aval):
+                w3 = w3_at(fpc)
                 seed = turbo.precalc[w3[..., 0]]
                 pwu = jnp.stack(
                     [
@@ -1057,18 +1186,19 @@ def turbo_streaming_search(
                     index, seed[..., 0], seed[..., 1], pwu, rem
                 ).astype(dt)
 
-            arows = _block_sweep(
-                arows.reshape(-1),
-                ((arows == SLOW_SENTINEL) & lane_ok).reshape(-1),
-                win3,
-                resolve_slow,
-                D2,
-                wc_div=128,
-            ).reshape(Cp2, P)
-            return a.at[lanes].set(arows, mode="drop")
+            new = _block_sweep(
+                new.reshape(-1),
+                (new == SLOW_SENTINEL).reshape(-1),
+                resolve_slow_g,
+                B * P,
+                wc_div=256,
+            ).reshape(B, P)
+            return new
 
-        n_pt = _sync((n_pl + Cp2 - 1) // Cp2)
-        ans = lax.fori_loop(0, n_pt, pend_trip, ans)
+        # global full-width branch when (nearly) everything is dirty —
+        # wrong-species screening is exactly this workload
+        ans = lax.cond(n_dirty * 4 > 3 * B, patch_global, patch_lanes, ans)
+
 
     if lengths is not None:
         pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
