@@ -1002,15 +1002,12 @@ def turbo_streaming_search(
             if small == big:
                 a = patch_loop(small)(a)
             else:
-                ans = lax.cond(
-                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), ans
+                a = lax.cond(
+                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a
                 )
 
             if _debug_stages < 4:
-                if lengths is not None:
-                    pos_ok = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
-                    ans = jnp.where(pos_ok, ans, -1)
-                return ans
+                return a
             # ---- pend pass: continue-walks + non-singleton exact-LF ---------
             # Survivor counts are tiny (~2% of live restarts; ~0.2% of
             # positions have non-singleton seeds at p=13), so one small-chunk

@@ -1,0 +1,78 @@
+"""Regime-adaptive branch coverage at batch sizes that reach them.
+
+The engine lax.conds between full-width / compacted / global programs on
+measured counts (ops/turbo.py).  The unit tests use small batches that
+always take the small-chunk lane path; these tests build batches big
+enough to trace the OTHER branches on the CPU backend:
+
+  * global patch branch:     n_dirty * 4 > 3 * B      (all-miss batch)
+  * big-chunk lane branch:   2^18 < n_dirty <= 0.75*B (B = 2^19, ~60% miss)
+  * compacted chain branch:  n_alive0 * 2 <= B
+
+Exactness is checked against the LF streaming engine on sampled lanes
+(full-batch LF on CPU at this size would dominate suite time).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sbwt_tpu.models.sbwt import SBWT
+from sbwt_tpu.ops.search import streaming_search_jit
+from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+from sbwt_tpu.utils.dna import encode_query
+
+
+@pytest.fixture(scope="module")
+def sb():
+    rng = np.random.default_rng(5)
+    g = "".join(rng.choice(list("ACGT"), size=4000))
+    return g, SBWT.build([g], 14, precalc_k=6)
+
+
+def _check(sb_t, codes, lengths, sample):
+    g, sb = sb_t
+    turbo = build_turbo(sb.device_index, arity=2)
+    got = np.asarray(
+        turbo_streaming_jit(
+            turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    ref = np.asarray(
+        streaming_search_jit(
+            sb.device_index, jnp.asarray(codes[sample]), jnp.asarray(lengths[sample])
+        )
+    )
+    np.testing.assert_array_equal(got[sample], ref)
+
+
+@pytest.mark.slow
+def test_global_patch_branch_all_miss(sb):
+    rng = np.random.default_rng(7)
+    B, L = 1 << 18, 40
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    g = sb[0]
+    for i in range(0, B, 997):  # a few genomic lanes stay exact too
+        s = g[(i * 7) % 3000 : (i * 7) % 3000 + L]
+        codes[i, : len(s)] = encode_query(s)
+    lengths = np.full(B, L, dtype=np.int32)
+    sample = np.concatenate([np.arange(0, B, 997), rng.integers(0, B, 512)])
+    _check(sb, codes, lengths, np.unique(sample))
+
+
+@pytest.mark.slow
+def test_big_chunk_lane_branch_mixed(sb):
+    rng = np.random.default_rng(8)
+    B, L = 1 << 19, 30
+    g = sb[0]
+    codes = np.empty((B, L), dtype=np.int8)
+    # ~40% genomic lanes (alive chains), ~60% random (dirty; between the
+    # small-chunk threshold 2^18 and the global threshold 0.75*B)
+    genomic = rng.random(B) < 0.4
+    codes[:] = rng.integers(0, 4, size=(B, L), dtype=np.int8)
+    starts = rng.integers(0, 3000, size=B)
+    enc = encode_query(g)
+    for i in np.flatnonzero(genomic)[:4096]:
+        codes[i] = enc[starts[i] : starts[i] + L]
+    lengths = np.full(B, L, dtype=np.int32)
+    sample = rng.integers(0, B, 768)
+    _check(sb, codes, lengths, np.unique(sample))
