@@ -525,6 +525,20 @@ def _lf_from_seeds(index, l0, r0, pw, rem):
     return jnp.where(alive, l, -1)
 
 
+def _cond_fori(pred, branch_true, branch_false, x):
+    """Data-dependent branch via a pair of 0/1-trip fori_loops.
+
+    lax.cond compiles the gathers inside its branches ~1.6x slower on
+    this backend (2372 vs 1464 ms for the same full-width bitmap
+    classification, scratch/r4_probe11.log); dynamic-trip fori bodies
+    keep the fast gather path, so regime dispatch runs the chosen
+    branch as a 1-trip loop and the other as a 0-trip loop."""
+    t = pred.astype(jnp.int32)
+    x = lax.fori_loop(0, t, lambda i, v: branch_true(v), x)
+    x = lax.fori_loop(0, 1 - t, lambda i, v: branch_false(v), x)
+    return x
+
+
 def _clamp_pow2(x, lo, hi):
     """Largest power of two <= max(x, lo), capped at hi (static python)."""
     v = max(lo, min(x, hi))
@@ -640,7 +654,10 @@ def turbo_streaming_search(
         return lax.fori_loop(0, n_t, body, jnp.full_like(l0s, -1).astype(dt))
 
     if rem > 0:
-        col0 = lax.cond(n_walk0 * 2 > B, walk0_full, walk0_compact, 0)
+        col0 = _cond_fori(
+            n_walk0 * 2 > B, walk0_full, walk0_compact,
+            jnp.full_like(l0s, -1).astype(dt),
+        )
     else:
         col0 = jnp.where(dead0, -1, l0s)
     ans0 = jnp.where(slow0, -1, col0)
@@ -719,7 +736,10 @@ def turbo_streaming_search(
             )
             return lax.fori_loop(0, n_t, body, init)
 
-        ans = lax.cond(n_alive0 * 2 > B, chain_full, chain_compact, 0)
+        ans = _cond_fori(
+            n_alive0 * 2 > B, chain_full, chain_compact,
+            jnp.broadcast_to(ans0[:, None], (B, P)).astype(dt),
+        )
     else:
         ans = ans0[:, None]
 
@@ -1002,7 +1022,7 @@ def turbo_streaming_search(
             if small == big:
                 a = patch_loop(small)(a)
             else:
-                a = lax.cond(
+                a = _cond_fori(
                     n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a
                 )
 
@@ -1093,10 +1113,14 @@ def turbo_streaming_search(
             if _debug_stages < 3:
                 return new
 
-            # packed 2-bit code words per lane (+2 pad words per lane so
-            # a window's 3-word read never crosses into the next lane)
+            # packed 2-bit code words per lane.  A window ending at the
+            # last position needs words up to (2L-1)//32 <= NWq-1, so no
+            # pad is needed unless P-1's base word + 2 would pass the
+            # row end; keeping NW minimal keeps the array inside the
+            # <=128 MB fast-gather tier (the +2-pad version was 151 MB at
+            # 4M lanes — just past the cliff, scratch/r4_probe7.log)
             NWq = (L + 15) // 16
-            NW = NWq + 2
+            NW = max(NWq, ((P - 1) >> 4) + 3)
             wcols = []
             for wq in range(NWq):
                 acc = jnp.zeros((B,), jnp.uint32)
@@ -1108,26 +1132,27 @@ def turbo_streaming_search(
                             << np.uint32(2 * t)
                         )
                 wcols.append(acc)
-            wcols += [jnp.zeros((B,), jnp.uint32)] * 2
+            wcols += [jnp.zeros((B,), jnp.uint32)] * (NW - NWq)
             packed_f = lax.bitcast_convert_type(
                 jnp.stack(wcols, axis=1), jnp.int32
             ).reshape(-1)
-            span = jnp.arange(3, dtype=jnp.int32)
 
             def w3_at(fp):
-                """(pidx, packed rem lo, hi) of flat position fp: one
-                3-consecutive-word gather + VPU funnel shifts."""
+                """(pidx, packed rem lo, hi) of flat position fp: three
+                scalar word gathers + VPU funnel shifts (a base+span
+                [., 3] gather lowers to a ~4x slower per-element path,
+                scratch/r4_probe7.log C1 vs probe6 M3)."""
                 lane = fp // P
                 pos = fp % P
                 wi = lane * NW + (pos >> 4)
-                ww = lax.bitcast_convert_type(
-                    packed_f[wi[:, None] + span[None, :]], jnp.uint32
-                )
+                w0 = lax.bitcast_convert_type(packed_f[wi], jnp.uint32)
+                w1 = lax.bitcast_convert_type(packed_f[wi + 1], jnp.uint32)
+                w2 = lax.bitcast_convert_type(packed_f[wi + 2], jnp.uint32)
                 off = (2 * (pos & 15)).astype(jnp.uint32)
                 inv = np.uint32(32) - off
                 nz = off > 0
-                wlo = (ww[:, 0] >> off) | jnp.where(nz, ww[:, 1] << inv, np.uint32(0))
-                whi = (ww[:, 1] >> off) | jnp.where(nz, ww[:, 2] << inv, np.uint32(0))
+                wlo = (w0 >> off) | jnp.where(nz, w1 << inv, np.uint32(0))
+                whi = (w1 >> off) | jnp.where(nz, w2 << inv, np.uint32(0))
                 pidx_s = (wlo & np.uint32((1 << (2 * p)) - 1)).astype(jnp.int32)
                 if 2 * p == 32:
                     pw0, pw1 = whi, jnp.zeros_like(whi)
@@ -1194,7 +1219,7 @@ def turbo_streaming_search(
 
         # global full-width branch when (nearly) everything is dirty —
         # wrong-species screening is exactly this workload
-        ans = lax.cond(n_dirty * 4 > 3 * B, patch_global, patch_lanes, ans)
+        ans = _cond_fori(n_dirty * 4 > 3 * B, patch_global, patch_lanes, ans)
 
 
     if lengths is not None:

@@ -39,7 +39,7 @@ def run(turbo, index, codes, lengths, stages):
     out = turbo_streaming_search(turbo, index, codes, lengths, _debug_stages=stages)
     return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int32))
 
-for name, frac in [("hit0", 1.0), ("hit50", 0.5)]:
+for name, frac in [("hit0", 1.0), ("hit50", 0.5), ("hit98", 0.02)]:
     codes = benchmod.sample_read_codes_device(genome, n_reads, read_len, seed=2, random_fraction=frac)
     jax.block_until_ready(codes)
     prev = 0.0
