@@ -197,9 +197,22 @@ def main():
     # reps would double the HBM footprint (it OOMs at 8M reads), and the
     # scalar fetch forces full completion of every rep
     # (block_until_ready alone is unreliable on this backend).
+    # static regime hints remove the engine's data-dependent dispatch
+    # (lax.cond dilutes branch gathers ~1.6x on this backend; see
+    # docs/DESIGN.md §4a); the regime runner knows its hit rate
+    hint = None
+    if regime is None:
+        hint = "hit"
+    elif regime.endswith("hit98"):
+        hint = "hit"
+    elif regime.endswith("hit50"):
+        hint = "mid"
+    elif regime.endswith("hit0"):
+        hint = "miss"
+
     @jax.jit
     def run(turbo, index, codes, lengths):
-        out = turbo_streaming_search(turbo, index, codes, lengths)
+        out = turbo_streaming_search(turbo, index, codes, lengths, regime_hint=hint)
         return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
     if regime is None:
@@ -265,7 +278,7 @@ def main():
 
             @jax.jit
             def run_w(t, ix, codes, lengths):
-                out = turbo_streaming_search(t, ix, codes, lengths)
+                out = turbo_streaming_search(t, ix, codes, lengths, regime_hint=hint)
                 return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
 
             fn = lambda cc: run_w(wturbo, wide_ix, cc, lengths_r)

@@ -525,18 +525,23 @@ def _lf_from_seeds(index, l0, r0, pw, rem):
     return jnp.where(alive, l, -1)
 
 
-def _cond_fori(pred, branch_true, branch_false, x):
-    """Data-dependent branch via a pair of 0/1-trip fori_loops.
+def _dispatch(pred, branch_true, branch_false, x, hint_true):
+    """Regime dispatch: static when the caller knows the regime, lax.cond
+    otherwise.
 
     lax.cond compiles the gathers inside its branches ~1.6x slower on
     this backend (2372 vs 1464 ms for the same full-width bitmap
-    classification, scratch/r4_probe11.log); dynamic-trip fori bodies
-    keep the fast gather path, so regime dispatch runs the chosen
-    branch as a 1-trip loop and the other as a 0-trip loop."""
-    t = pred.astype(jnp.int32)
-    x = lax.fori_loop(0, t, lambda i, v: branch_true(v), x)
-    x = lax.fori_loop(0, 1 - t, lambda i, v: branch_false(v), x)
-    return x
+    classification, scratch/r4_probe11.log).  A 0/1-trip fori pair was
+    tried instead and is WORSE: XLA hoists the unchosen branch's
+    loop-invariant work (the whole classification) out of the 0-trip
+    loop, executing it unconditionally (r4_probe5e).  So the auto path
+    accepts the cond penalty, and hot benchmarked paths pass a static
+    regime_hint that removes the data-dependent branch entirely."""
+    if hint_true is True:
+        return branch_true(x)
+    if hint_true is False:
+        return branch_false(x)
+    return lax.cond(pred, branch_true, branch_false, x)
 
 
 def _clamp_pow2(x, lo, hi):
@@ -554,6 +559,7 @@ def turbo_streaming_search(
     chunk_slow=None,
     sync_axes=None,
     _debug_stages=4,
+    regime_hint=None,
 ):
     """Exact streaming search via the successor table.
 
@@ -654,9 +660,10 @@ def turbo_streaming_search(
         return lax.fori_loop(0, n_t, body, jnp.full_like(l0s, -1).astype(dt))
 
     if rem > 0:
-        col0 = _cond_fori(
+        col0 = _dispatch(
             n_walk0 * 2 > B, walk0_full, walk0_compact,
             jnp.full_like(l0s, -1).astype(dt),
+            None if regime_hint is None else regime_hint == "hit",
         )
     else:
         col0 = jnp.where(dead0, -1, l0s)
@@ -736,9 +743,10 @@ def turbo_streaming_search(
             )
             return lax.fori_loop(0, n_t, body, init)
 
-        ans = _cond_fori(
+        ans = _dispatch(
             n_alive0 * 2 > B, chain_full, chain_compact,
             jnp.broadcast_to(ans0[:, None], (B, P)).astype(dt),
+            None if regime_hint is None else regime_hint == "hit",
         )
     else:
         ans = ans0[:, None]
@@ -1022,8 +1030,9 @@ def turbo_streaming_search(
             if small == big:
                 a = patch_loop(small)(a)
             else:
-                a = _cond_fori(
-                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a
+                a = _dispatch(
+                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a,
+                    None if regime_hint is None else regime_hint != "hit",
                 )
 
             if _debug_stages < 4:
@@ -1219,7 +1228,10 @@ def turbo_streaming_search(
 
         # global full-width branch when (nearly) everything is dirty —
         # wrong-species screening is exactly this workload
-        ans = _cond_fori(n_dirty * 4 > 3 * B, patch_global, patch_lanes, ans)
+        ans = _dispatch(
+            n_dirty * 4 > 3 * B, patch_global, patch_lanes, ans,
+            None if regime_hint is None else regime_hint == "miss",
+        )
 
 
     if lengths is not None:

@@ -76,3 +76,37 @@ def test_big_chunk_lane_branch_mixed(sb):
     lengths = np.full(B, L, dtype=np.int32)
     sample = rng.integers(0, B, 768)
     _check(sb, codes, lengths, np.unique(sample))
+
+
+@pytest.mark.parametrize("hint", ["hit", "mid", "miss"])
+def test_regime_hints_are_performance_only(sb, hint):
+    """A static regime_hint picks which exact program runs; even a WRONG
+    hint must return bit-identical answers."""
+    from functools import partial
+    import jax
+
+    from sbwt_tpu.ops.turbo import turbo_streaming_search
+
+    g, sbwt = sb
+    rng = np.random.default_rng(11)
+    turbo = build_turbo(sbwt.device_index, arity=3)
+    B, L = 512, 40
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    for i in range(0, B, 3):  # mixed regime, so every hint is "wrong" somewhere
+        s = g[(i * 13) % 3000 : (i * 13) % 3000 + L]
+        codes[i, : len(s)] = encode_query(s)
+    codes[5, 7] = -1
+    lengths = np.full(B, L, dtype=np.int32)
+    lengths[9] = 20
+    auto = np.asarray(
+        turbo_streaming_jit(
+            turbo, sbwt.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+        )
+    )
+    fn = jax.jit(
+        partial(turbo_streaming_search, regime_hint=hint)
+    )
+    got = np.asarray(
+        fn(turbo, sbwt.device_index, jnp.asarray(codes), jnp.asarray(lengths))
+    )
+    np.testing.assert_array_equal(got, auto)
