@@ -385,6 +385,15 @@ def main():
             "qps", "qps_min", "qps_max", "qps_reps", "hit_rate",
             "warmup_s", "n_reads", "reps", "commit", "date",
         )
+        def _flush():
+            # incremental artifact: a sweep is hours of wall time through
+            # the tunnel; partial results must survive interruption
+            with open("BENCH_REGIMES.json", "w") as f:
+                json.dump(
+                    {"k": k, "read_len": read_len, "regimes": regimes}, f, indent=1
+                )
+
+        _flush()
         for name in names:
             for attempt in range(3):
                 env = dict(os.environ)
@@ -397,9 +406,11 @@ def main():
                     r = json.loads(proc.stdout.strip().splitlines()[-1])
                     regimes[name] = {k2: r[k2] for k2 in keep if k2 in r}
                     write_log(f"bench regime {name}: {r['qps']/1e6:.1f}M q/s")
+                    _flush()
                     break
                 regimes[name] = {"error": proc.stderr[-500:]}
                 write_log(f"bench regime {name}: attempt {attempt} failed")
+                _flush()
                 time.sleep(90)  # intermittent tunnel faults; let it settle
         # construction throughput datapoint (host+native; device upload
         # excluded) recorded next to the query numbers
