@@ -300,8 +300,12 @@ def main():
             # chunks so one device op stays under the watchdog (the rrr
             # cell faulted on whole-batch dispatches in rounds 2-3)
             variant = _VARIANT_ENGINES[vkey]
-            n_r = min(n_reads, 1 << 19)
-            ch = min(n_r, 1 << 16)
+            n_r = min(n_reads, 1 << 20)
+            # 256K-read dispatches: the old 64K chunks were sized for the
+            # round-3 rrr rank (63 sequential unrank steps per query, device
+            # watchdog territory); the LUT rank is ~40x lighter per query
+            # and gather throughput climbs with occupancy
+            ch = min(n_r, 1 << 18)
             write_log(f"bench: re-encoding {variant} variant")
             var = sbwt.to_variant(variant)
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=4, random_fraction=frac)
