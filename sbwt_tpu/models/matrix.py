@@ -286,13 +286,29 @@ def with_precalc(index: MatrixIndex, precalc_k: int) -> MatrixIndex:
     )
     n_entries = 4**p
     # codes synthesized ON DEVICE: a host [4^p, p] array would be GBs of
-    # upload at p >= 12 (the axon tunnel makes that minutes-slow)
-    ids = jnp.arange(n_entries, dtype=jnp.int32)
-    codes = jnp.stack([(ids >> (2 * i)) & 3 for i in range(p)], axis=1)
-    l0 = jnp.zeros(n_entries, dtype=jnp.int32)
-    r0 = jnp.full(n_entries, index.n_nodes - 1, dtype=jnp.int32)
-    l, r, alive = update_interval_jit(base, codes, l0, r0)
-    tbl = jnp.stack(
-        [jnp.where(alive, l, -1), jnp.where(alive, r, -1)], axis=1
-    ).astype(jnp.int32)
+    # upload at p >= 12 (the axon tunnel makes that minutes-slow).
+    # Computed in bounded chunks: one 4^13-entry LF scan compiled as a
+    # single program has been seen to materialize its per-step carries
+    # (a 34 GB allocation at compile time on some index shapes).
+    chunk = min(n_entries, 1 << 23)
+
+    @partial(jax.jit, static_argnames=("m",))
+    def _chunk(base, start, m):
+        ids = start + jnp.arange(m, dtype=jnp.int32)
+        codes = jnp.stack([(ids >> (2 * i)) & 3 for i in range(p)], axis=1)
+        l0 = jnp.zeros(m, dtype=jnp.int32)
+        r0 = jnp.full(m, index.n_nodes - 1, dtype=jnp.int32)
+        from ..ops.search import update_interval_batch
+
+        l, r, alive = update_interval_batch(base, codes, l0, r0)
+        return jnp.stack(
+            [jnp.where(alive, l, -1), jnp.where(alive, r, -1)], axis=1
+        ).astype(jnp.int32)
+
+    if chunk == n_entries:
+        tbl = _chunk(base, 0, n_entries)
+    else:
+        tbl = jnp.zeros((n_entries, 2), dtype=jnp.int32)
+        for s in range(0, n_entries, chunk):
+            tbl = jax.lax.dynamic_update_slice(tbl, _chunk(base, s, chunk), (s, 0))
     return dataclasses.replace(index, precalc=tbl, precalc_k=p)
