@@ -148,8 +148,13 @@ def main():
     # override for lane-scaling experiments with SBWT_BENCH_READS.
     n_reads = int(os.environ.get("SBWT_BENCH_READS", 1 << 22))
     regime = os.environ.get("SBWT_BENCH_REGIME")
-    repeat = bool(regime) and regime.startswith("repeat_")
-    base_regime = regime[len("repeat_"):] if repeat else regime
+    # <name>_auto cells measure the hint-free PRODUCTION dispatch path
+    # (AdaptiveTurboEngine — what `sbwt-tpu search` actually runs) on the
+    # same workload as the hinted cell <name>
+    auto_mode = bool(regime) and regime.endswith("_auto")
+    regime_m = regime[: -len("_auto")] if auto_mode else regime
+    repeat = bool(regime_m) and regime_m.startswith("repeat_")
+    base_regime = regime_m[len("repeat_"):] if repeat else regime_m
     if base_regime and base_regime.startswith("widet1"):
         # the int64 (wide) engine tier: x64 is process-global, which is
         # why every regime runs in its own subprocess
@@ -203,11 +208,13 @@ def main():
     hint = None
     if regime is None:
         hint = "hit"
-    elif regime.endswith("hit98"):
+    elif auto_mode:
+        hint = None  # the adaptive engine discovers its own hint
+    elif regime_m.endswith("hit98"):
         hint = "hit"
-    elif regime.endswith("hit50"):
+    elif regime_m.endswith("hit50"):
         hint = "mid"
-    elif regime.endswith("hit0"):
+    elif regime_m.endswith("hit0"):
         hint = "miss"
 
     @jax.jit
@@ -247,7 +254,7 @@ def main():
         "subsetwt": "plain-subsetwt",
     }
     if regime:
-        frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime.rsplit("_", 1)[1]]
+        frac = {"hit98": 0.02, "hit50": 0.5, "hit0": 1.0}[regime_m.rsplit("_", 1)[1]]
         vkey = base_regime.split("_", 1)[0]
         if base_regime.startswith("widet1"):
             # wide (int64) engine + its arity-1 pair-row turbo tier,
@@ -293,7 +300,42 @@ def main():
             )
             c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
             lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
-            fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_r)
+            if auto_mode:
+                # the production dispatch path, exactly as the CLI runs
+                # it: hint-free, seeded by the strided probe on batch 1,
+                # steady-state hinted by the previous batch's hit count
+                from sbwt_tpu.ops.turbo import AdaptiveTurboEngine
+
+                eng = AdaptiveTurboEngine(turbo, sbwt.device_index)
+                fn = lambda cc: eng.search_reduced(cc, lengths_r)
+            else:
+                fn = lambda cc: run(turbo, sbwt.device_index, cc, lengths_r)
+        elif vkey in _VARIANT_ENGINES and base_regime.split("_")[1].startswith("turbo"):
+            # variant + turbo: the successor table is variant-independent
+            # once built (ops/turbo.py), so a compressed variant queries
+            # at headline turbo speed — the cell that proves the
+            # small-disk/fast-query combination the reference can't offer
+            variant = _VARIANT_ENGINES[vkey]
+            ar = int(base_regime.split("_")[1][5:] or "3")
+            write_log(f"bench: re-encoding {variant} variant")
+            var = sbwt.to_variant(variant)
+            t0 = time.perf_counter()
+            turbo_v = build_turbo(var.device_index, arity=ar)
+            jax.block_until_ready(turbo_v.tbl)
+            write_log(
+                f"bench: turbo table (arity {ar}) from {variant} in "
+                f"{time.perf_counter() - t0:.1f}s"
+            )
+            n_r = n_reads
+            c = sample_read_codes_device(genome_codes, n_r, read_len, seed=2, random_fraction=frac)
+            lengths_r = jnp.asarray(np.full(n_r, read_len, dtype=np.int32))
+
+            @jax.jit
+            def run_vt(t, ix, codes, lengths):
+                out = turbo_streaming_search(t, ix, codes, lengths, regime_hint=hint)
+                return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int64))
+
+            fn = lambda cc: run_vt(turbo_v, var.device_index, cc, lengths_r)
         elif vkey in _VARIANT_ENGINES:
             # compressed/structured variants run the generic LF streaming
             # engine over their own rank structures; dispatch in 64K-read
@@ -376,10 +418,12 @@ def main():
             }
         }
         names = [
+            "turbo3_hit98_auto", "turbo3_hit50_auto", "turbo3_hit0_auto",
             "turbo3_hit50", "turbo3_hit0",
             "turbo2_hit98",
             "turbo1_hit98", "turbo1_hit50", "turbo1_hit0",
             "lf_hit98", "lf_hit50", "lf_hit0",
+            "rrr_turbo3_hit98",
             "rrr_lf_hit98", "mef_lf_hit98", "split_lf_hit98",
             "concat_lf_hit98", "subsetwt_lf_hit98",
             "repeat_turbo3_hit98", "repeat_turbo3_hit0", "repeat_turbo1_hit98",

@@ -151,10 +151,13 @@ def search_main(argv) -> int:
 
     sbwt = load(args.index_file)
     write_log(f"Loaded the index variant {sbwt.variant}")
+    # Any variant is turbo-eligible: the successor table is variant-
+    # independent once built (ops/turbo.py build_turbo), so compressed
+    # on-disk variants query at turbo speed too.  Auto mode still
+    # requires streaming support + a precalc table (build_turbo raises
+    # otherwise and the except below falls back to the LF engine).
     want_turbo = args.engine in ("turbo", "turbo1", "turbo2", "turbo3") or (
-        args.engine == "auto"
-        and sbwt.variant == "plain-matrix"
-        and sbwt.has_streaming_query_support()
+        args.engine == "auto" and sbwt.has_streaming_query_support()
     )
     if want_turbo:
         try:

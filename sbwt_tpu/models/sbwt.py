@@ -411,14 +411,23 @@ class SBWT:
         from ..ops.turbo import build_turbo
         from ..utils.memory import select_turbo_arity
 
+        if self.device_index.precalc_k <= 0:
+            # the turbo engine's singleton-seed fast path needs a precalc
+            # table (a walk from the 0-char state is an interval, not a
+            # column); indexes built without one get the reference's
+            # default prefix length here (sbwt_build.cpp -p 8)
+            self.do_kmer_prefix_precalc(min(self.k, 8))
         if arity is None:
+            wide = getattr(self.device_index, "pos_dtype", jnp.int32) == jnp.int64
             arity = select_turbo_arity(
-                self.number_of_subsets(), free_bytes, self.device_index.precalc_k
+                self.number_of_subsets(), free_bytes, self.device_index.precalc_k,
+                wide=wide,
             )
             if arity is None:
                 self._turbo = None
                 return None
         self._turbo = build_turbo(self.device_index, arity=arity)
+        self._turbo_engine = None  # reset adaptation state for the new table
         return arity
 
     def streaming_search_batch(
@@ -432,14 +441,19 @@ class SBWT:
             lengths = np.full(B, L, dtype=np.int32)
         turbo = getattr(self, "_turbo", None)
         if turbo is not None:
-            from ..ops.turbo import turbo_streaming_jit
+            from ..ops.turbo import AdaptiveTurboEngine
 
+            # adaptive hinting: each batch's measured hit fraction picks
+            # the static regime hint for the next batch, so the
+            # production path runs the hinted (cond-free) programs
+            # without a workload declaration (ops/turbo.py)
+            eng = getattr(self, "_turbo_engine", None)
+            if eng is None or eng.turbo is not turbo or eng.index is not self.device_index:
+                eng = AdaptiveTurboEngine(turbo, self.device_index)
+                self._turbo_engine = eng
             return np.asarray(
-                turbo_streaming_jit(
-                    turbo,
-                    self.device_index,
-                    jnp.asarray(codes),
-                    jnp.asarray(lengths, dtype=jnp.int32),
+                eng.search(
+                    jnp.asarray(codes), jnp.asarray(lengths, dtype=jnp.int32)
                 )
             )
         return np.asarray(

@@ -94,6 +94,15 @@ class MatrixRank:
         pos = jnp.asarray(pos, dtype=jnp.int32)
         return self.bv.rank(c * self.n + pos) - self.base[c]
 
+    def rank_pair(self, c, pos):
+        """(rank(c,pos), rank(c,pos+1)) at the gather cost of ONE rank
+        (the LF extension pair — both land in the same block of the
+        underlying bit vector)."""
+        c = jnp.asarray(c, dtype=jnp.int32)
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        r1, r2 = self.bv.rank_pair(c * self.n + pos)
+        return r1 - self.base[c], r2 - self.base[c]
+
     def contains(self, c, pos):
         return self.bv.get(jnp.asarray(c, jnp.int32) * self.n + jnp.asarray(pos, jnp.int32))
 
@@ -174,6 +183,24 @@ class SplitRank:
         yr = self.Y.rank(c, pos - xr)
         zr = self.Z.rank(c * self.n_b + xr) - self.z_base[c]
         return yr + zr
+
+    def rank_pair(self, c, pos):
+        """(rank(c,pos), rank(c,pos+1)) at the gather cost of ~one rank:
+        pos+1's X/Y/Z arguments are each pos's argument or its +1
+        neighbor (X's bit at pos routes the +1 into exactly one of the
+        unary (Y) or branching (Z) sides), so the component rank_pairs
+        serve both."""
+        c = jnp.asarray(c, dtype=jnp.int32)
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        xr1, xr2 = self.X.rank_pair(pos)
+        xbit = xr2 - xr1  # 1 iff pos is a branching column
+        y1, y2 = self.Y.rank_pair(c, pos - xr1)
+        z1, z2 = self.Z.rank_pair(c * self.n_b + xr1)
+        r1 = y1 + z1 - self.z_base[c]
+        # branching pos: Y argument unchanged, Z argument advances;
+        # unary pos: Y argument advances, Z argument unchanged
+        r2 = jnp.where(xbit == 1, y1 + z2, y2 + z1) - self.z_base[c]
+        return r1, r2
 
     def contains(self, c, pos):
         return self.rank(c, pos + 1) - self.rank(c, pos)
@@ -446,6 +473,27 @@ def _wt4_pair_rank(wt: WaveletTree, pos, root_r1):
     return c1, c3
 
 
+def _wt4_pair_rank_pair(wt: WaveletTree, p, padv, r, radv):
+    """Paired form of _wt4_pair_rank for positions p and p+padv
+    (padv ∈ {0,1}), given the root rank pair (r at p, r+radv at p+padv):
+    returns (c1, c3, c1 at p+padv, c3 at p+padv).  Both child arguments
+    advance by at most 1, so each costs one bv rank_pair."""
+    lvl1 = wt.levels[1]
+    base_l = wt.node_base[1]
+    rank_l = wt.node_rank[1]
+    base_r = wt.node_base[2]
+    rank_r = wt.node_rank[2]
+    a = p - r
+    aadv = padv - radv  # ∈ {0, 1}: the left child's argument advance
+    ca, cb = lvl1.rank_pair(base_l + a)
+    da, db = lvl1.rank_pair(base_r + r)
+    c1 = ca - rank_l
+    c1q = jnp.where(aadv == 1, cb, ca) - rank_l
+    c3 = da - rank_r
+    c3q = jnp.where(radv == 1, db, da) - rank_r
+    return c1, c3, c1q, c3q
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["acgt", "ac", "gt"],
@@ -497,6 +545,45 @@ class SubsetWTRank:
         return jnp.where(
             c == 0, a_res, jnp.where(c == 1, c_res, jnp.where(c == 2, g_res, t_res))
         )
+
+    def rank_pair(self, c, pos):
+        """(rank(c,pos), rank(c,pos+1)) at the gather cost of one rank:
+        every tree argument for pos+1 is the pos argument or its +1
+        neighbor, so each level answers both from one bv rank_pair."""
+        c = jnp.asarray(c, dtype=jnp.int32)
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        c, pos = jnp.broadcast_arrays(c, pos)
+        is_ac = c < 2
+        one = jnp.ones_like(pos)
+        zero = jnp.zeros_like(pos)
+        r0a, r0b = self.acgt.levels[0].rank_pair(pos)
+        c1, c3, c1q, c3q = _wt4_pair_rank_pair(self.acgt, pos, one, r0a, r0b - r0a)
+        x = jnp.where(is_ac, r0a, c1 + c3)
+        xq = jnp.where(is_ac, r0b, c1q + c3q)
+        xadv = xq - x
+        acx = jnp.where(is_ac, x, 0)
+        acadv = jnp.where(is_ac, xadv, zero)
+        gtx = jnp.where(is_ac, 0, x)
+        gtadv = jnp.where(is_ac, zero, xadv)
+        ac0a, ac0b = self.ac.levels[0].rank_pair(acx)
+        ac_rq = jnp.where(acadv == 1, ac0b, ac0a)
+        gt0a, gt0b = self.gt.levels[0].rank_pair(gtx)
+        gt_rq = jnp.where(gtadv == 1, gt0b, gt0a)
+        ac1, ac3, ac1q, ac3q = _wt4_pair_rank_pair(
+            self.ac, acx, acadv, ac0a, ac_rq - ac0a
+        )
+        gt1, gt3, gt1q, gt3q = _wt4_pair_rank_pair(
+            self.gt, gtx, gtadv, gt0a, gt_rq - gt0a
+        )
+        r1 = jnp.where(
+            c == 0, ac0a,
+            jnp.where(c == 1, ac1 + ac3, jnp.where(c == 2, gt0a, gt1 + gt3)),
+        )
+        r2 = jnp.where(
+            c == 0, ac_rq,
+            jnp.where(c == 1, ac1q + ac3q, jnp.where(c == 2, gt_rq, gt1q + gt3q)),
+        )
+        return r1, r2
 
     def contains(self, c, pos):
         return self.rank(c, pos + 1) - self.rank(c, pos)

@@ -50,8 +50,17 @@ class GenericIndex(FusedRowEngineMixin):
         return self.struct.rank(c, pos)
 
     def extend_rank(self, c, pos):
-        r1 = self.struct.rank(c, pos)
-        r2 = self.struct.rank(c, pos + 1)
+        # the LF extension pair (rank at pos and pos+1, SBWT.hh:423-437):
+        # structures with a rank_pair answer both from one decode chain
+        # (matrix/split/subset-wt — halves the gather count per LF step);
+        # concat falls back to two ranks (its set-start select makes the
+        # +1 argument non-adjacent in the symbol stream)
+        rp = getattr(self.struct, "rank_pair", None)
+        if rp is not None:
+            r1, r2 = rp(c, pos)
+        else:
+            r1 = self.struct.rank(c, pos)
+            r2 = self.struct.rank(c, pos + 1)
         return r1, r2 - r1
 
     def sgs_row(self, w):

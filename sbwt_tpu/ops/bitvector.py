@@ -127,3 +127,35 @@ def get_bit(tbl: jax.Array, pos: jax.Array) -> jax.Array:
     o = (pos & 31).astype(jnp.uint32)
     word = tbl[w, 0].astype(jnp.uint32)
     return ((word >> o) & _ONE).astype(jnp.int32)
+
+
+def rank_pair(tbl: jax.Array, pos: jax.Array):
+    """(rank(pos), rank(pos+1)) from ONE row gather.
+
+    pos+1 shares pos's (word, cum) row even at a word boundary: the
+    width-(o+1) mask at o = 31 covers the whole word, and cum +
+    popcount(word) equals the next row's cum by construction.  The LF
+    extension step needs exactly this pair (SBWT.hh:423-437 queries
+    rank at both interval ends), so pairing halves its gather count."""
+    w = pos >> 5
+    o = (pos & 31).astype(jnp.uint32)
+    row = tbl[w]  # gather [..., 2]
+    word = row[..., 0].astype(jnp.uint32)
+    m1 = (_ONE << o) - _ONE
+    m2 = (m1 << _ONE) | _ONE  # width o+1 <= 32 without overflowing 1<<32
+    pc = jax.lax.population_count
+    return (
+        row[..., 1] + pc(word & m1).astype(jnp.int32),
+        row[..., 1] + pc(word & m2).astype(jnp.int32),
+    )
+
+
+def rank_get(tbl: jax.Array, pos: jax.Array):
+    """(rank(pos), bit at pos) from ONE row gather."""
+    w = pos >> 5
+    o = (pos & 31).astype(jnp.uint32)
+    row = tbl[w]
+    word = row[..., 0].astype(jnp.uint32)
+    mask = (_ONE << o) - _ONE
+    r = row[..., 1] + jax.lax.population_count(word & mask).astype(jnp.int32)
+    return r, ((word >> o) & _ONE).astype(jnp.int32)

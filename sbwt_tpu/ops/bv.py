@@ -71,6 +71,10 @@ class PlainBV:
     def rank(self, pos):
         return bvt.rank(self.tbl, pos)
 
+    def rank_pair(self, pos):
+        """(rank(pos), rank(pos+1)) from one row gather (bitvector.py)."""
+        return bvt.rank_pair(self.tbl, pos)
+
     def get(self, pos):
         return bvt.get_bit(self.tbl, pos)
 
@@ -191,9 +195,9 @@ _W15HI = np.uint32(sum(int(_WIDTH15[c]) << (4 * (c - 8)) for c in range(8, 16)))
 
 def _width15_of(cls):
     """Offset width for classes cls (int32, 0..15) — no table gather."""
-    c = cls.astype(jnp.uint32)
-    lo = _W15LO >> (4 * c)
-    hi = _W15HI >> (4 * (c - np.uint32(8)))
+    c = cls.astype(jnp.uint32) & np.uint32(7)  # clamp: both lanes compute,
+    lo = _W15LO >> (4 * c)  # so the unselected one must not shift out of
+    hi = _W15HI >> (4 * c)  # range (XLA leaves out-of-range shifts undefined)
     return (jnp.where(cls < 8, lo, hi) & np.uint32(15)).astype(jnp.uint32)
 
 
@@ -320,6 +324,23 @@ class RRRBV:
             pat & ((_ONE << o.astype(jnp.uint32)) - _ONE)
         ).astype(jnp.int32)
         return before + inblock
+
+    def rank_pair(self, pos):
+        """(rank(pos), rank(pos+1)) from ONE decode chain: pos+1 shares
+        pos's 15-bit block (the width-(o+1) mask at o = 14 covers the
+        whole pattern, whose popcount + `before` equals the next block's
+        prefix rank).  The LF extension step queries exactly this pair,
+        so pairing halves the rrr gather count per step — the round-4
+        rrr cell ran TWO full 4-gather chains per extension."""
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        pat, o, before = self._pattern_at(pos)
+        m1 = (_ONE << o.astype(jnp.uint32)) - _ONE
+        m2 = (m1 << _ONE) | _ONE  # width o+1 <= 15
+        pc = jax.lax.population_count
+        return (
+            before + pc(pat & m1).astype(jnp.int32),
+            before + pc(pat & m2).astype(jnp.int32),
+        )
 
     def get(self, pos):
         pos = jnp.asarray(pos, dtype=jnp.int32)
@@ -480,10 +501,26 @@ class MEFBV:
         pos = jnp.asarray(pos, dtype=jnp.int32)
         b = pos >> self.wl
         t = pos & ((1 << self.wl) - 1)
-        u = self.upper.rank(b)
-        keep = self.upper.get(b)
+        # upper rank + bit come from the same (word, cum) row: one gather
+        u, keep = bvt.rank_get(self.upper.tbl, b)
         lpos = (u << self.wl) + jnp.where(keep == 1, t, 0)
         return self.lower.rank(lpos)
+
+    def rank_pair(self, pos):
+        """(rank(pos), rank(pos+1)) in 2 gathers (vs 4-6 for two ranks).
+
+        rank(pos+1) - rank(pos) is the bit at pos, which is 0 unless
+        bucket b is kept, in which case it is lower's bit at lpos — so
+        lower.rank_pair(lpos) serves both, including the bucket-crossing
+        case (t = 2^wl - 1: the next bucket's lpos is either lpos + 1
+        when b is kept, or lpos itself when it is not)."""
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        b = pos >> self.wl
+        t = pos & ((1 << self.wl) - 1)
+        u, keep = bvt.rank_get(self.upper.tbl, b)
+        lpos = (u << self.wl) + jnp.where(keep == 1, t, 0)
+        r1, r2 = self.lower.rank_pair(lpos)
+        return r1, jnp.where(keep == 1, r2, r1)
 
     def get(self, pos):
         pos = jnp.asarray(pos, dtype=jnp.int32)

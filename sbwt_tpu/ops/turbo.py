@@ -173,7 +173,6 @@ def build_turbo_wide(index, chunk: int = 1 << 22) -> WideTurboIndex:
     n = index.n_nodes
     chunk = min(chunk, max(1024, n))
 
-    @partial(jax.jit, static_argnames=("m",))
     def _chunk(index, start, m):
         cols = start + jnp.arange(m, dtype=jnp.int64)
         s = index.sg_start(jnp.minimum(cols, n - 1))
@@ -189,11 +188,21 @@ def build_turbo_wide(index, chunk: int = 1 << 22) -> WideTurboIndex:
             parts.append((succ >> 32).astype(jnp.int32))
         return jnp.stack(parts, axis=-1)  # [m, 8]
 
+    # one jitted fori_loop fill: the carry aliases in place, so peak HBM
+    # is the final table + one chunk part (an eager per-chunk
+    # dynamic_update_slice copies the whole [n, 8] table every chunk)
+    @partial(jax.jit, static_argnames=("n_chunks", "m"))
+    def _fill(index, n_chunks, m):
+        tbl = jnp.zeros((n_chunks * m, 8), dtype=jnp.int32)
+
+        def body(i, tbl):
+            part = _chunk(index, i.astype(jnp.int64) * m, m)
+            return lax.dynamic_update_slice(tbl, part, (i * m, 0))
+
+        return lax.fori_loop(0, n_chunks, body, tbl)
+
     n_pad = -(-n // chunk) * chunk
-    tbl = jnp.zeros((n_pad, 8), dtype=jnp.int32)
-    for start in range(0, n_pad, chunk):
-        part = _chunk(index, start, chunk)
-        tbl = lax.dynamic_update_slice(tbl, part, (start, 0))
+    tbl = _fill(index, n_pad // chunk, chunk)
     seed_bits = (
         _pack_seed_pair_bits(index.precalc[:, 0] >= 0)
         if 0 < index.precalc_k <= 14
@@ -336,14 +345,24 @@ def check_turbo_index_range(n_nodes: int, arity: int, what: str = "turbo table")
 
 
 def build_turbo(index, arity: int = 2) -> TurboIndex:
-    """Build the successor table from a device index (any variant that
-    implements the engine interface; plain-matrix recommended).
+    """Build the successor table from a device index — ANY variant that
+    implements the engine interface (models/matrix.py MatrixIndex or
+    models/variants.py GenericIndex over any of the 10 subset-rank
+    structures).  The successor table is variant-INDEPENDENT once built:
+    a compressed on-disk variant (rrr/mef/...) queries at turbo speed
+    after this one-time build, which is strictly better than the
+    reference's small-index-slow-query trade (sbwt_search.cpp:204-253
+    runs all variants through the same LF loop).
 
     arity 1: 16 B HBM per column ([n, 4] successor rows).  arity 2:
     128 B per column.  arity 3: 1 KiB per column, ~1.5x fewer chain
     gathers — for indexes where HBM allows."""
     if not index.has_streaming:
         raise ValueError("turbo engine requires streaming support (suffix group marks)")
+    if index.precalc_k <= 0:
+        # the singleton-seed fast path is the whole engine; without a
+        # precalc table every position would take the exact-LF fallback
+        raise ValueError("turbo engine requires a precalc table (precalc_k > 0)")
     if arity not in (1, 2, 3):
         raise ValueError("turbo arity must be 1, 2 or 3")
     if getattr(index, "pos_dtype", jnp.int32) == jnp.int64:
@@ -1129,7 +1148,14 @@ def turbo_streaming_search(
             # <=128 MB fast-gather tier (the +2-pad version was 151 MB at
             # 4M lanes — just past the cliff, scratch/r4_probe7.log)
             NWq = (L + 15) // 16
-            NW = max(NWq, ((P - 1) >> 4) + 3)
+            # a window of k chars starting at bit offset <= 30 within its
+            # base word spans ceil((2k + 30) / 32) words: 3 words only
+            # cover k <= 33, so longer windows gather a 4th (k <= p + 32
+            # <= 46 here, and 4 words cover k <= 49) — without it every
+            # window char past offset 31 read as 'A' and miss-heavy
+            # batches returned wrong answers for k > 33 (round-4 bug)
+            need4 = 2 * k + 30 > 96
+            NW = max(NWq, ((P - 1) >> 4) + (4 if need4 else 3))
             wcols = []
             for wq in range(NWq):
                 acc = jnp.zeros((B,), jnp.uint32)
@@ -1162,13 +1188,18 @@ def turbo_streaming_search(
                 nz = off > 0
                 wlo = (w0 >> off) | jnp.where(nz, w1 << inv, np.uint32(0))
                 whi = (w1 >> off) | jnp.where(nz, w2 << inv, np.uint32(0))
+                if need4:  # window chars 32..47 (k > 33 only; see NW above)
+                    w3_ = lax.bitcast_convert_type(packed_f[wi + 3], jnp.uint32)
+                    wx = (w2 >> off) | jnp.where(nz, w3_ << inv, np.uint32(0))
+                else:
+                    wx = jnp.zeros_like(whi)
                 pidx_s = (wlo & np.uint32((1 << (2 * p)) - 1)).astype(jnp.int32)
                 if 2 * p == 32:
-                    pw0, pw1 = whi, jnp.zeros_like(whi)
+                    pw0, pw1 = whi, wx
                 else:
                     sp_ = np.uint32(2 * p)
                     pw0 = (wlo >> sp_) | (whi << (np.uint32(32) - sp_))
-                    pw1 = whi >> sp_
+                    pw1 = (whi >> sp_) | (wx << (np.uint32(32) - sp_))
                 return jnp.stack(
                     [pidx_s, lax.bitcast_convert_type(pw0, jnp.int32),
                      lax.bitcast_convert_type(pw1, jnp.int32)], axis=-1
@@ -1242,3 +1273,106 @@ def turbo_streaming_search(
 
 turbo_streaming_jit = jax.jit(turbo_streaming_search)
 fast_search_jit = jax.jit(fast_search)
+
+
+# ---------------------------------------------------------------------------
+# production auto dispatch: adaptive hinting
+# ---------------------------------------------------------------------------
+
+
+def regime_hint_from_hit_fraction(frac: float) -> str:
+    """Static regime hint from a measured hit fraction.
+
+    Thresholds mirror the engine's own lax.cond predicates
+    (turbo_streaming_search): the full-width walk/chain programs win when
+    most lanes stay alive (> ~50%), and the global full-width patch wins
+    when > ~75% of lanes are dirty."""
+    if frac >= 0.55:
+        return "hit"
+    if frac <= 0.2:
+        return "miss"
+    return "mid"
+
+
+@partial(jax.jit, static_argnames=("regime_hint",))
+def _turbo_with_stats(turbo, index, codes, lengths, regime_hint):
+    out = turbo_streaming_search(turbo, index, codes, lengths, regime_hint=regime_hint)
+    return out, jnp.sum((out >= 0).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("regime_hint",))
+def _turbo_reduced_stats(turbo, index, codes, lengths, regime_hint):
+    """Benchmark form: the answer matrix reduces to (checksum, hits) on
+    device so it never persists across reps (bench.py's contract)."""
+    out = turbo_streaming_search(turbo, index, codes, lengths, regime_hint=regime_hint)
+    return jnp.sum(out), jnp.sum((out >= 0).astype(jnp.int32))
+
+
+class AdaptiveTurboEngine:
+    """Hint-free production dispatch that runs at hinted speed.
+
+    The reference's query loop needs no workload declaration — misses are
+    simply the cheap case of the same loop (SBWT.hh:557-559,
+    src/CLI/sbwt_search.cpp:46-91).  The TPU engine's equivalent property
+    comes from ADAPTIVE hinting instead of lax.cond dispatch (which
+    dilutes branch gathers ~1.6x on this backend, docs/DESIGN.md §4a):
+
+    * every batch's hit count comes back as a free by-product of the
+      answer reduction, and picks the static regime hint for the NEXT
+      batch (regime shifts within one query stream are rare, and hints
+      select among bit-identical programs — tests/test_turbo_branches.py);
+    * the first large batch of a session runs a small strided PROBE
+      (16K lanes, hint-free lax.cond program) to seed the hint, so even
+      batch 1 runs the big program fully hinted.
+
+    Exactness is hint-invariant; only speed adapts.  This is the engine
+    behind `sbwt-tpu search` (models/sbwt.py streaming_search_batch) and
+    the `*_auto` bench cells (bench.py)."""
+
+    PROBE_LANES = 1 << 14
+    PROBE_MIN_BATCH = 1 << 16
+
+    def __init__(self, turbo, index):
+        self.turbo = turbo
+        self.index = index
+        self.hint: str | None = None
+
+    def _observe(self, hits: int, n_queries: int):
+        if n_queries > 0:
+            self.hint = regime_hint_from_hit_fraction(hits / n_queries)
+
+    def _maybe_probe(self, codes, lengths):
+        B = codes.shape[0]
+        if self.hint is not None or B < self.PROBE_MIN_BATCH:
+            return
+        stride = max(1, B // self.PROBE_LANES)
+        pc = codes[::stride][: self.PROBE_LANES]
+        pl = lengths[::stride][: self.PROBE_LANES]
+        _, hits = _turbo_reduced_stats(self.turbo, self.index, pc, pl, None)
+        P = pc.shape[1] - self.turbo.k + 1
+        self._observe(int(hits), pc.shape[0] * max(P, 1))
+
+    def search(self, codes, lengths):
+        """Full answers [B, P]; updates the hint from this batch's hits.
+
+        The hit fraction uses all padded positions as the denominator —
+        padded/invalid positions count as misses, which leans the hint
+        in the direction that is also right for them (they cost like
+        dead lanes)."""
+        self._maybe_probe(codes, lengths)
+        out, hits = _turbo_with_stats(
+            self.turbo, self.index, codes, lengths, self.hint
+        )
+        self._observe(int(hits), out.shape[0] * max(out.shape[1], 1))
+        return out
+
+    def search_reduced(self, codes, lengths):
+        """(checksum, hits) device scalars — the bench form."""
+        self._maybe_probe(codes, lengths)
+        B, L = codes.shape
+        s, hits = _turbo_reduced_stats(
+            self.turbo, self.index, codes, lengths, self.hint
+        )
+        h = int(hits)
+        self._observe(h, B * max(L - self.turbo.k + 1, 1))
+        return s, h

@@ -148,6 +148,31 @@ class WaveletTree:
             pos = jnp.where(valid, nxt, pos)
         return pos
 
+    def rank_pair(self, sym, pos):
+        """(rank(sym, pos), rank(sym, pos+1)) at the gather cost of ONE
+        rank: adjacent positions stay adjacent-or-equal down the tree
+        (q - p ∈ {0, 1} at every level), so each level's bit-vector
+        rank_pair answers both lanes.  The LF extension step queries
+        exactly this pair."""
+        sym = jnp.asarray(sym, dtype=jnp.int32)
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        sym, pos = jnp.broadcast_arrays(sym, pos)
+        p, q = pos, pos + 1
+        for d in range(self.depth):
+            nid = self.path_node[sym, d]
+            bit = self.path_bit[sym, d]
+            valid = self.path_valid[sym, d]
+            base = self.node_base[nid]
+            brank = self.node_rank[nid]
+            ra, rb = self.levels[d].rank_pair(base + p)
+            rp = ra - brank
+            rq = jnp.where(q == p, ra, rb) - brank  # q ∈ {p, p+1}
+            np_ = jnp.where(bit == 1, rp, p - rp)
+            nq_ = jnp.where(bit == 1, rq, q - rq)
+            p = jnp.where(valid, np_, p)
+            q = jnp.where(valid, nq_, q)
+        return p, q
+
     # ---- host ----
 
     def to_symbols(self) -> np.ndarray:

@@ -36,13 +36,19 @@ def device_free_bytes(device=None) -> int | None:
     return None
 
 
-def turbo_table_bytes(n_nodes: int, arity: int, precalc_k: int = 0) -> int:
+def turbo_table_bytes(
+    n_nodes: int, arity: int, precalc_k: int = 0, wide: bool = False
+) -> int:
     """HBM cost of the turbo engine's device tables (ops/turbo.py):
     the successor table (arity 1 = int32 [n, 4] rows, 16 B/col;
     arity 2/3 = int32 [n * 4^arity, width] with width 2 or 4) plus the
     seed-liveness pair bitmap (2 bits per (p+1)-mer, built whenever
-    0 < precalc_k <= 14 — 67 MB at p=13)."""
-    if arity == 1:
+    0 < precalc_k <= 14 — 67 MB at p=13).  A wide (int64) index only has
+    the arity-1 pair-row tier: [n, 8] int32 (lo, hi) rows = 32 B/col
+    (ops/turbo.py WideTurboIndex) regardless of the requested arity."""
+    if wide:
+        tbl = n_nodes * 32
+    elif arity == 1:
         tbl = n_nodes * 16
     else:
         width = 2 if arity == 2 else 4
@@ -53,7 +59,8 @@ def turbo_table_bytes(n_nodes: int, arity: int, precalc_k: int = 0) -> int:
 
 
 def select_turbo_arity(
-    n_nodes: int, free_bytes: int | None = None, precalc_k: int = 0
+    n_nodes: int, free_bytes: int | None = None, precalc_k: int = 0,
+    wide: bool = False,
 ) -> int | None:
     """Largest affordable turbo arity (3, 2, 1) or None for the LF engine.
 
@@ -63,6 +70,13 @@ def select_turbo_arity(
     the LF fallback is reached only past ~1G columns on a 16 GB chip."""
     if free_bytes is None:
         free_bytes = device_free_bytes()
+    if wide:
+        # the wide engine's only tier is the arity-1 [n, 8] pair-row
+        # table (32 B/col); account for IT, not the narrow 16 B rows
+        if free_bytes is None:
+            return 1 if n_nodes <= 200_000_000 else None
+        budget = int(free_bytes * HEADROOM_FRACTION)
+        return 1 if turbo_table_bytes(n_nodes, 1, precalc_k, wide=True) <= budget else None
     if free_bytes is None:
         # unmeasurable: conservative legacy thresholds (2 GB pair table)
         if n_nodes <= 6_000_000:

@@ -50,12 +50,12 @@ def test_select_turbo_arity_measured():
 
 
 def test_enable_turbo_degrades_not_raises():
-    sbwt = SBWT.build(["ACGTACGTACGTTAGCATCGAT" * 3], 6)
+    sbwt = SBWT.build(["ACGTACGTACGTTAGCATCGAT" * 3], 6, precalc_k=4)
     # plenty of budget -> arity 3
     assert sbwt.enable_turbo(free_bytes=1 << 30) == 3
-    # only enough for the pair table -> arity 2
+    # only enough for the pair table (+ seed bitmap) -> arity 2
     n = sbwt.number_of_subsets()
-    assert sbwt.enable_turbo(free_bytes=turbo_table_bytes(n, 2) * 2) == 2
+    assert sbwt.enable_turbo(free_bytes=turbo_table_bytes(n, 2, precalc_k=4) * 2) == 2
     # not even that -> LF fallback, turbo disabled, queries still work
     assert sbwt.enable_turbo(free_bytes=64) is None
     assert sbwt._turbo is None
@@ -82,3 +82,14 @@ def test_mef_concat_disk_smaller_than_plain_concat(tmp_path):
         assert np.array_equal(back.bits, plain.bits)
         assert back.search(seqs[0][:8]) == plain.search(seqs[0][:8])
     assert sizes["mef-concat"] < sizes["plain-concat"], sizes
+
+
+def test_select_turbo_arity_wide():
+    """Wide (int64) indexes only have the arity-1 pair-row tier, whose
+    [n, 8] rows cost 32 B/col — twice the narrow row tier; the ladder
+    must account for THAT footprint (round-4 weak item: auto mode could
+    pick an arity the wide build silently rerouted)."""
+    assert select_turbo_arity(1 << 28, free_bytes=4 << 30, wide=True) is None
+    assert select_turbo_arity(1 << 28, free_bytes=20 << 30, wide=True) == 1
+    assert select_turbo_arity(1 << 25, free_bytes=4 << 30, wide=True) == 1
+    assert turbo_table_bytes(1 << 25, 3, wide=True) == (1 << 25) * 32

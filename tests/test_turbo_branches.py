@@ -110,3 +110,40 @@ def test_regime_hints_are_performance_only(sb, hint):
         fn(turbo, sbwt.device_index, jnp.asarray(codes), jnp.asarray(lengths))
     )
     np.testing.assert_array_equal(got, auto)
+
+
+@pytest.mark.parametrize("k,p", [(36, 8), (45, 13)])
+def test_global_patch_long_kmers_chimeric(k, p):
+    """Round-4 regression (ADVICE high): patch_global re-derived restart
+    windows from only 3 packed words, so every window char at offset
+    >= 32 read as 'A' for k > 33 — chimeric reads (random prefix, genomic
+    suffix) whose restarts must resolve REAL k-mers caught 2169/5670
+    wrong answers at k=36.  k=45/p=13 is the widest window the packed
+    path supports (rem = 32 at the max precalc length)."""
+    from functools import partial
+    import jax
+
+    from sbwt_tpu.ops.turbo import turbo_streaming_search
+
+    rng = np.random.default_rng(5)
+    g = "".join(rng.choice(list("ACGT"), size=6000))
+    sb = SBWT.build([g], k, precalc_k=p)
+    turbo = build_turbo(sb.device_index, arity=3)
+    B, L = 2048, 70
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    enc = encode_query(g)
+    for i in range(0, B, 3):
+        cut = int(rng.integers(1, L - k))
+        s = enc[(i * 7) % 5000 : (i * 7) % 5000 + (L - cut)]
+        codes[i, cut : cut + len(s)] = s
+    lengths = np.full(B, L, dtype=np.int32)
+    ref = np.asarray(
+        streaming_search_jit(sb.device_index, jnp.asarray(codes), jnp.asarray(lengths))
+    )
+    for hint in ("miss", None):  # global branch: forced, then via lax.cond
+        got = np.asarray(
+            jax.jit(partial(turbo_streaming_search, regime_hint=hint))(
+                turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+            )
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"hint={hint}")
