@@ -103,18 +103,14 @@ def build_sbwt_external(
                     progress.job_done()
     write_log(f"external build: spilled {n_windows} k-mer records")
 
-    native.em_sort_records_file(
-        raw, sorted_f, tfm.get_dir(), W, ram_bytes=ram_bytes, n_threads=n_threads
-    )
-    tfm.delete_file(raw)
-    n_distinct = native.em_dedup_count_records_file(
-        sorted_f,
-        distinct_f,
-        W,
+    # fused sort+dedup: in-RAM inputs never round-trip a sorted file
+    n_distinct = native.em_sort_dedup_records_file(
+        raw, distinct_f, tfm.get_dir(), W,
+        ram_bytes=ram_bytes, n_threads=n_threads,
         min_abund=min_abundance,
         max_abund=max_abundance if max_abundance is not None else 2**62,
     )
-    tfm.delete_file(sorted_f)
+    tfm.delete_file(raw)
     write_log(f"external build: {n_distinct} distinct k-mers after cutoffs")
 
     from .streaming import build_streaming

@@ -154,6 +154,12 @@ class _Prims:
     def append_last(self, vals, c):
         return kw.append_last(vals, c) if self.wide else km.append_last(vals, c)
 
+    def append_last_base(self, vals):
+        return kw.append_last_base(vals) if self.wide else km.append_last_base(vals)
+
+    def append_from_base(self, base, c):
+        return kw.append_from_base(base, c) if self.wide else km.append_from_base(base, c)
+
     def neq(self, a, b):
         return ~kw.rows_equal(a, b) if self.wide else a != b
 
@@ -495,11 +501,13 @@ def build_streaming(
             rep_pos = np.flatnonzero(starts)
             S_rep = S[rep_pos]
             edge_bytes = np.zeros(len(X), dtype=np.uint8)
+            # the >>2 shift is char-independent: one pass for all 4 chars
+            y_base = p.append_last_base(S_rep)
             for c in range(4):
                 # scalar c: a full-length char array costs an extra 8x
                 # broadcast temp per block (both append_last variants
                 # accept scalars)
-                y = p.append_last(S_rep, c)
+                y = p.append_from_base(y_base, c)
                 found = cursors[c].probe(y)
                 edge_bytes[rep_pos[found]] |= np.uint8(1 << c)
             edge_bytes.tofile(ef)

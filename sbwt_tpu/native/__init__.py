@@ -194,14 +194,29 @@ def format_ranks(vals: np.ndarray, lens: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _tofile_checked(arr: np.ndarray, path: str) -> None:
+    """ndarray.tofile with the native error contract: a short write (disk
+    full mid-stream) raises RuntimeError like the C writers do — a
+    truncated 'sorted' stream with rc 0 would build a wrong index."""
+    try:
+        arr.tofile(path)
+    except OSError as e:
+        raise RuntimeError(f"short write to {path}: {e}") from e
+
+
 def em_sort_u64_file(in_path: str, out_path: str, tmp_dir: str,
                      ram_bytes: int = 1 << 30, n_threads: int = 4) -> None:
     lib = get_lib()
-    if lib is None:
-        # pure-python fallback: in-memory numpy sort
+    # In-RAM shortcut: when the whole file fits comfortably in the RAM
+    # budget, numpy's in-memory sort beats the external-memory block
+    # sort + merge ~7x (measured: 16M u64 in 0.20s vs 1.44s) — the EM
+    # machinery only pays for itself when the data cannot fit.  The
+    # reference's EM_sort takes the same in-memory shortcut for small
+    # inputs via its block path (EM_sort.cpp:102-134).
+    if lib is None or os.path.getsize(in_path) <= ram_bytes // 2:
         arr = np.fromfile(in_path, dtype=np.uint64)
         arr.sort()
-        arr.tofile(out_path)
+        _tofile_checked(arr, out_path)
         return
     rc = lib.em_sort_u64(
         in_path.encode(), out_path.encode(), tmp_dir.encode(),
@@ -213,12 +228,24 @@ def em_sort_u64_file(in_path: str, out_path: str, tmp_dir: str,
 
 def em_dedup_count_u64_file(in_path: str, out_path: str,
                             min_abund: int = 1, max_abund: int = 2**62) -> int:
+    """Adjacent dedup + abundance cutoffs over a SORTED u64 file (the
+    sort above always runs first), matching the C streamer's semantics."""
     lib = get_lib()
-    if lib is None:
+    size = os.path.getsize(in_path)
+    if lib is None or size <= (256 << 20):
+        # in-RAM vectorized path: run-boundary scan of the sorted array
+        # (np.unique would re-sort; the C streamer is adjacent-only too)
         arr = np.fromfile(in_path, dtype=np.uint64)
-        uniq, counts = np.unique(arr, return_counts=True)
+        if len(arr) == 0:
+            open(out_path, "wb").close()
+            return 0
+        change = np.empty(len(arr), dtype=bool)
+        change[0] = True
+        np.not_equal(arr[1:], arr[:-1], out=change[1:])
+        idx = np.flatnonzero(change)
+        counts = np.diff(np.append(idx, len(arr)))
         keep = (counts >= min_abund) & (counts <= max_abund)
-        uniq[keep].tofile(out_path)
+        _tofile_checked(arr[idx[keep]], out_path)
         return int(keep.sum())
     kept = lib.em_dedup_count_u64(
         in_path.encode(), out_path.encode(), int(min_abund), int(max_abund)
@@ -323,6 +350,46 @@ def em_dedup_count_records_file(in_path: str, out_path: str, n_words: int,
     if kept < 0:
         raise RuntimeError("em_dedup_count_u64w failed")
     return int(kept)
+
+
+def em_sort_dedup_records_file(
+    in_path: str, out_path: str, tmp_dir: str, n_words: int,
+    ram_bytes: int = 1 << 30, n_threads: int = 4,
+    min_abund: int = 1, max_abund: int = 2**62,
+) -> int:
+    """Fused sort + dedup + abundance cutoff of a record file.
+
+    When the records fit the RAM budget, the whole thing runs in memory
+    with NO intermediate sorted file (the split path writes the sorted
+    128 MB-class stream to disk only for dedup to read it straight back).
+    Out-of-core inputs fall back to the two-stage native path."""
+    size = os.path.getsize(in_path)
+    if n_words == 1 and (get_lib() is None or size <= ram_bytes // 2):
+        arr = np.fromfile(in_path, dtype=np.uint64)
+        arr.sort()
+        if len(arr) == 0:
+            open(out_path, "wb").close()
+            return 0
+        change = np.empty(len(arr), dtype=bool)
+        change[0] = True
+        np.not_equal(arr[1:], arr[:-1], out=change[1:])
+        idx = np.flatnonzero(change)
+        counts = np.diff(np.append(idx, len(arr)))
+        keep = (counts >= min_abund) & (counts <= max_abund)
+        _tofile_checked(arr[idx[keep]], out_path)
+        return int(keep.sum())
+    sorted_f = os.path.join(tmp_dir, os.path.basename(in_path) + ".sorted")
+    em_sort_records_file(in_path, sorted_f, tmp_dir, n_words,
+                         ram_bytes=ram_bytes, n_threads=n_threads)
+    try:
+        return em_dedup_count_records_file(
+            sorted_f, out_path, n_words, min_abund=min_abund, max_abund=max_abund
+        )
+    finally:
+        try:
+            os.remove(sorted_f)
+        except OSError:
+            pass
 
 
 def spill_windows_u64(codes: np.ndarray, k: int, path: str, n_threads: int = 4) -> int | None:

@@ -60,6 +60,12 @@ SLOW_SENTINEL = -2
 # walks die within the first step, so the remaining rem-A characters are
 # walked only for the tiny survivor set, pooled across all patch trips.
 WALK_CONT = -3
+# Block-sweep resolver chunk width cap (lanes per trip).  Dependent-gather
+# throughput climbs with occupancy to ~8M lanes (docs/DESIGN.md §1), so
+# miss-heavy sweeps with tens of millions of live positions want wide
+# trips; the cap bounds the per-trip transients ([Wc, 3] windows, seed
+# rows, step rows — ~60 B/lane).
+_SWEEP_CHUNK_CAP = 1 << 21
 
 
 @partial(
@@ -928,7 +934,7 @@ def turbo_streaming_search(
         level_counts = (ND - jnp.cumsum(hist)[:64]).astype(jnp.int32)  # [64]
         offsets1 = jnp.cumsum(level_counts).astype(jnp.int32)  # offsets[1:65]
         total_live = offsets1[63]
-        Wc = min(_clamp_pow2(max(D_ // wc_div, 1), 8192, 1 << 21), D64)
+        Wc = min(_clamp_pow2(max(D_ // wc_div, 1), 8192, _SWEEP_CHUNK_CAP), D64)
 
         def chunk(t, vals):
             s = t * Wc + jnp.arange(Wc, dtype=jnp.int32)
@@ -1027,39 +1033,16 @@ def turbo_streaming_search(
     elif _debug_stages < 2:
         pass  # chain only (phase probes)
     else:
-        def patch_lanes(a):
-            # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
-            # hit-heavy batches have a few dirty lanes (small chunks: one
-            # barely-padded trip); miss-heavy batches have millions (big
-            # chunks amortize per-trip overhead and maximize bitmap-gather
-            # occupancy).  Both loops compile, one runs.
-            def patch_loop(Cn_):
-                def run(a):
-                    def body(i, a):
-                        lanes = lax.dynamic_slice(lanes_work, (i * Cn_,), (Cn_,))
-                        return bitmap_trip(lanes, a)
+        def pend_pass(a):
+            """Pend resolution: continue-walks (WALK_CONT) + non-singleton
+            exact-LF (SLOW_SENTINEL), shared by both patch branches.
 
-                    n_t = _sync((n_dirty + Cn_ - 1) // Cn_)
-                    return lax.fori_loop(0, n_t, body, a)
-
-                return run
-
-            small = min(1 << 17, B) if chunk_lanes is None else min(chunk_lanes, B)
-            big = min(1 << 19, B) if chunk_lanes is None else small
-            if small == big:
-                a = patch_loop(small)(a)
-            else:
-                a = _dispatch(
-                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a,
-                    None if regime_hint is None else regime_hint != "hit",
-                )
-
-            if _debug_stages < 4:
-                return a
-            # ---- pend pass: continue-walks + non-singleton exact-LF ---------
-            # Survivor counts are tiny (~2% of live restarts; ~0.2% of
-            # positions have non-singleton seeds at p=13), so one small-chunk
-            # lane loop with the same block sweep resolves them pooled.
+            Survivor counts are tiny (~2% of live restarts; ~0.2% of
+            positions have non-singleton seeds at p=13), so pend LANES are
+            compacted first and the block sweeps run over the compacted
+            lane-chunk domain — sweeping the full [B*P] domain for a few
+            hundred K pend positions paid several full-width liveness
+            packings (~0.3 s/batch at hit0, scratch/r5_probe1.log)."""
             pend = jnp.any(a <= SLOW_SENTINEL, axis=1)
             pl_work, n_pl = compact_indices(pend)
             n_pl = _sync(n_pl)
@@ -1115,8 +1098,38 @@ def turbo_streaming_search(
                 return a.at[lanes].set(arows, mode="drop")
 
             n_pt = _sync((n_pl + Cp2 - 1) // Cp2)
-            a = lax.fori_loop(0, n_pt, pend_trip, a)
-            return a
+            return lax.fori_loop(0, n_pt, pend_trip, a)
+
+        def patch_lanes(a):
+            # ---- dirty-lane trips, chunk size cond'd on the dirty count -----
+            # hit-heavy batches have a few dirty lanes (small chunks: one
+            # barely-padded trip); miss-heavy batches have millions (big
+            # chunks amortize per-trip overhead and maximize bitmap-gather
+            # occupancy).  Both loops compile, one runs.
+            def patch_loop(Cn_):
+                def run(a):
+                    def body(i, a):
+                        lanes = lax.dynamic_slice(lanes_work, (i * Cn_,), (Cn_,))
+                        return bitmap_trip(lanes, a)
+
+                    n_t = _sync((n_dirty + Cn_ - 1) // Cn_)
+                    return lax.fori_loop(0, n_t, body, a)
+
+                return run
+
+            small = min(1 << 17, B) if chunk_lanes is None else min(chunk_lanes, B)
+            big = min(1 << 19, B) if chunk_lanes is None else small
+            if small == big:
+                a = patch_loop(small)(a)
+            else:
+                a = _dispatch(
+                    n_dirty > (1 << 18), patch_loop(big), patch_loop(small), a,
+                    None if regime_hint is None else regime_hint != "hit",
+                )
+
+            if _debug_stages < 4:
+                return a
+            return pend_pass(a)
 
 
         def patch_global(a):
@@ -1214,48 +1227,9 @@ def turbo_streaming_search(
             new = new_flat.reshape(B, P)
             if _debug_stages < 4:
                 return new
-
-            # pend: global sweeps (counts are tiny; masks are VPU)
-            if rem2 > 0:
-
-                def resolve_walk_g(fpc, aval):
-                    w3 = w3_at(fpc)
-                    char_fn = _w3_chars(w3)
-                    col = (WALK_CONT - aval).astype(dt)
-                    return _walk_rem(
-                        turbo, col, lambda j: char_fn(take0 + j), rem2
-                    ).astype(dt)
-
-                new = _block_sweep(
-                    new.reshape(-1),
-                    (new <= WALK_CONT).reshape(-1),
-                    resolve_walk_g,
-                    B * P,
-                    wc_div=256,
-                ).reshape(B, P)
-
-            def resolve_slow_g(fpc, aval):
-                w3 = w3_at(fpc)
-                seed = turbo.precalc[w3[..., 0]]
-                pwu = jnp.stack(
-                    [
-                        lax.bitcast_convert_type(w3[..., 1], jnp.uint32),
-                        lax.bitcast_convert_type(w3[..., 2], jnp.uint32),
-                    ],
-                    axis=-1,
-                )
-                return _lf_from_seeds(
-                    index, seed[..., 0], seed[..., 1], pwu, rem
-                ).astype(dt)
-
-            new = _block_sweep(
-                new.reshape(-1),
-                (new == SLOW_SENTINEL).reshape(-1),
-                resolve_slow_g,
-                B * P,
-                wc_div=256,
-            ).reshape(B, P)
-            return new
+            # pend: shared lane-compacted pass (a global sweep paid
+            # full-[B*P] liveness packings for a few hundred K positions)
+            return pend_pass(new)
 
         # global full-width branch when (nearly) everything is dirty —
         # wrong-species screening is exactly this workload

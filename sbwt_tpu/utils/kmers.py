@@ -95,6 +95,16 @@ def append_last(vals: np.ndarray, c) -> np.ndarray:
     return (vals >> 2) | (np.asarray(c).astype(np.uint64) << _U64(62))
 
 
+def append_last_base(vals: np.ndarray) -> np.ndarray:
+    """The char-independent part of append_last (vals >> 2): hoisted by
+    callers that append each of the 4 candidate chars to the same set."""
+    return vals >> 2
+
+
+def append_from_base(base: np.ndarray, c) -> np.ndarray:
+    return base | (np.asarray(c).astype(np.uint64) << _U64(62))
+
+
 def first_char(vals: np.ndarray, k: int) -> np.ndarray:
     """Code of the first character of length-k packed k-mers."""
     return ((vals >> (64 - 2 * k)) & _U64(3)).astype(np.int8)

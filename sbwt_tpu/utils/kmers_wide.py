@@ -192,6 +192,24 @@ def append_last(vals: np.ndarray, c) -> np.ndarray:
     return out
 
 
+def append_last_base(vals: np.ndarray) -> np.ndarray:
+    """append_last without the char: the shifted row, reused for all 4
+    candidate chars (one shift pass instead of four)."""
+    out = np.empty_like(vals)
+    W = vals.shape[-1]
+    for w in range(W - 1, -1, -1):
+        out[..., w] = vals[..., w] >> _U64(2)
+        if w > 0:
+            out[..., w] |= vals[..., w - 1] << _U64(62)
+    return out
+
+
+def append_from_base(base: np.ndarray, c) -> np.ndarray:
+    out = base.copy()
+    out[..., 0] |= np.asarray(c).astype(_U64) << _U64(62)
+    return out
+
+
 def first_char(vals: np.ndarray, k: int) -> np.ndarray:
     w, r = divmod(k - 1, 32)
     return ((vals[..., w] >> _U64(62 - 2 * r)) & _U64(3)).astype(np.int8)
