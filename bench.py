@@ -385,7 +385,10 @@ def main():
         warm, hits_w = fn(c)  # compile + warm
         int(warm)  # scalar fetch forces completion (block_until_ready is
         warm_s = time.perf_counter() - t0  # unreliable on this backend)
-        reps_r = 3
+        # 5 reps: round 4's mef cell carried an unexplained 19% outlier at
+        # 3 reps; more reps make the median robust to one-off tunnel or
+        # allocator hiccups and the min/max spread diagnostic
+        reps_r = 5
         rep_qps = []
         for _ in range(reps_r):
             t0 = time.perf_counter()

@@ -127,7 +127,7 @@ class TurboIndex:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tbl", "precalc", "C", "seed_bits"],
+    data_fields=["tbl", "tbl_hi", "precalc", "C", "seed_bits"],
     meta_fields=["n_nodes", "k", "precalc_k", "arity"],
 )
 @dataclass(frozen=True)
@@ -136,17 +136,21 @@ class WideTurboIndex:
     (models/wide.py, n >= 2^31 columns — the reference is int64
     throughout and flat in n, SBWT.hh:44-46).
 
-    Successor columns are int64 stored as (lo, hi) int32 pairs in an
-    [n, 8] row — cols 2c / 2c+1 for char c — so the chain still costs
-    ONE contiguous row gather per answer (32 B instead of the narrow
-    tier's 16 B); the pair carry is VPU-side like the wide rank rows.
-    32 B/column means a 2^31-column table needs 68.7 GB: single-chip
-    wide-turbo serves the sub-2^31 range the wide engine can be forced
-    onto, and past that the table must be row-sharded over a mesh
-    (parallel/sharded.py; per-shard rebasing keeps shard-local int32
-    viable to 2^31 columns per shard)."""
+    Successor columns are int64 stored as TWO [n, 4] int32 row tables
+    (lo words and hi words), so the chain costs two 16-byte row gathers
+    per answer.  A single interleaved [n, 8] row (round 4's layout)
+    measured only 52.5M rows/s vs 153.3M for 16-byte rows
+    (scratch/r5_probe7.log) — 32-byte rows fall off the single-
+    transaction gather path, so the split pair is ~1.5x faster despite
+    issuing twice the gathers.  Still 32 B/column total: a 2^31-column
+    table needs 68.7 GB, so single-chip wide-turbo serves the sub-2^31
+    range the wide engine can be forced onto, and past that the table
+    must be row-sharded over a mesh (parallel/sharded.py; per-shard
+    rebasing keeps shard-local int32 viable to 2^31 columns per
+    shard)."""
 
-    tbl: jax.Array  # int32 [n, 8]
+    tbl: jax.Array  # int32 [n, 4] successor lo words (char-major)
+    tbl_hi: jax.Array  # int32 [n, 4] successor hi words
     precalc: jax.Array  # int64 [4^p, 2]
     C: jax.Array  # int64 [4]
     n_nodes: int
@@ -158,13 +162,14 @@ class WideTurboIndex:
     pos_dtype = jnp.int64
 
     def tbl_row(self, idx):
-        return self.tbl[idx]
+        return self.tbl[idx], self.tbl_hi[idx]
 
     def succ_from_row(self, row, c, alive):
-        lo01 = jnp.where(c == 0, row[..., 0], row[..., 2])
-        hi01 = jnp.where(c == 0, row[..., 1], row[..., 3])
-        lo23 = jnp.where(c == 2, row[..., 4], row[..., 6])
-        hi23 = jnp.where(c == 2, row[..., 5], row[..., 7])
+        rlo, rhi = row
+        lo01 = jnp.where(c == 0, rlo[..., 0], rlo[..., 1])
+        hi01 = jnp.where(c == 0, rhi[..., 0], rhi[..., 1])
+        lo23 = jnp.where(c == 2, rlo[..., 2], rlo[..., 3])
+        hi23 = jnp.where(c == 2, rhi[..., 2], rhi[..., 3])
         lo = jnp.where(c <= 1, lo01, lo23).astype(jnp.uint32).astype(jnp.int64)
         hi = jnp.where(c <= 1, hi01, hi23).astype(jnp.int64)
         s = (hi << 32) | lo  # -1 round-trips: hi = -1, lo = 0xFFFFFFFF
@@ -182,33 +187,37 @@ def build_turbo_wide(index, chunk: int = 1 << 22) -> WideTurboIndex:
     def _chunk(index, start, m):
         cols = start + jnp.arange(m, dtype=jnp.int64)
         s = index.sg_start(jnp.minimum(cols, n - 1))
-        parts = []
+        los, his = [], []
         for c in range(4):
             cc = jnp.full((m,), c, dtype=jnp.int32)
             r1, bit = index.extend_rank(cc, s)
             succ = jnp.where(bit == 1, index.C[c] + r1, jnp.int64(-1))
-            lo = lax.bitcast_convert_type(
+            los.append(lax.bitcast_convert_type(
                 (succ & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
-            )
-            parts.append(lo)
-            parts.append((succ >> 32).astype(jnp.int32))
-        return jnp.stack(parts, axis=-1)  # [m, 8]
+            ))
+            his.append((succ >> 32).astype(jnp.int32))
+        return jnp.stack(los, axis=-1), jnp.stack(his, axis=-1)  # [m, 4] x2
 
     # one jitted fori_loop fill: the carry aliases in place, so peak HBM
-    # is the final table + one chunk part (an eager per-chunk
-    # dynamic_update_slice copies the whole [n, 8] table every chunk)
+    # is the final tables + one chunk part (an eager per-chunk
+    # dynamic_update_slice copies the whole table every chunk)
     @partial(jax.jit, static_argnames=("n_chunks", "m"))
     def _fill(index, n_chunks, m):
-        tbl = jnp.zeros((n_chunks * m, 8), dtype=jnp.int32)
+        tbl = jnp.zeros((n_chunks * m, 4), dtype=jnp.int32)
+        tbl_hi = jnp.zeros((n_chunks * m, 4), dtype=jnp.int32)
 
-        def body(i, tbl):
-            part = _chunk(index, i.astype(jnp.int64) * m, m)
-            return lax.dynamic_update_slice(tbl, part, (i * m, 0))
+        def body(i, carry):
+            tbl, tbl_hi = carry
+            lo, hi = _chunk(index, i.astype(jnp.int64) * m, m)
+            return (
+                lax.dynamic_update_slice(tbl, lo, (i * m, 0)),
+                lax.dynamic_update_slice(tbl_hi, hi, (i * m, 0)),
+            )
 
-        return lax.fori_loop(0, n_chunks, body, tbl)
+        return lax.fori_loop(0, n_chunks, body, (tbl, tbl_hi))
 
     n_pad = -(-n // chunk) * chunk
-    tbl = _fill(index, n_pad // chunk, chunk)
+    tbl, tbl_hi = _fill(index, n_pad // chunk, chunk)
     seed_bits = (
         _pack_seed_pair_bits(index.precalc[:, 0] >= 0)
         if 0 < index.precalc_k <= 14
@@ -216,6 +225,7 @@ def build_turbo_wide(index, chunk: int = 1 << 22) -> WideTurboIndex:
     )
     return WideTurboIndex(
         tbl=tbl,
+        tbl_hi=tbl_hi,
         precalc=index.precalc,
         C=index.C,
         n_nodes=n,
@@ -790,7 +800,14 @@ def turbo_streaming_search(
     dirty = jnp.any(unresolved, axis=1)  # [B]
     lanes_work, n_dirty = compact_indices(dirty)
     n_dirty = _sync(n_dirty)
-    take0 = min(A, rem) if rem > 0 else 0  # chars walked inline per restart
+    # Chars walked inline per live restart before pooling survivors: at
+    # least 3 regardless of arity — each char kills ~3/4 of random
+    # walkers, so 3 chars leave ~1.6% for the pend stage.  At arity 1
+    # min(A, rem) = 1 left 25% of walkable restarts for the pend pass,
+    # whose LOCKSTEP rem2-char walk then dominated the whole mid/miss
+    # regime (turbo1_hit50 pend delta: 2245 ms vs ~150 ms expected,
+    # scratch/r5_probe6.log) — the round-4 turbo1 regime inversion.
+    take0 = min(max(A, 3), rem) if rem > 0 else 0
     rem2 = rem - take0  # chars left for the pooled continue-walk stage
     Cn = _clamp_pow2(B // 16, 8192, 1 << 19) if chunk_lanes is None else min(chunk_lanes, B)
     Cn = min(Cn, B)
@@ -981,18 +998,17 @@ def turbo_streaming_search(
         return char_fn
 
     def _resolve_seed(w3, aval):
-        """Seed gather + ONE inline arity-step (each char kills ~3/4 of
-        random walkers, so ~98% of live restarts finish here); survivors
-        take the WALK_CONT encoding, non-singleton seeds keep the
-        sentinel — both resolved by the pend pass below."""
+        """Seed gather + take0 (>= min(3, rem)) inline walk chars (each
+        char kills ~3/4 of random walkers, so ~98% of live restarts
+        finish here); survivors take the WALK_CONT encoding,
+        non-singleton seeds keep the sentinel — both resolved by the
+        pend pass below."""
         seed = turbo.precalc[w3[..., 0]]
         l0, r0 = seed[..., 0], seed[..., 1]
         singleton = l0 == r0
         char_fn = _w3_chars(w3)
-        cs = [char_fn(j if j < take0 else rem - 1) for j in range(A)]
-        tv = jnp.ones(w3.shape[:-1], dtype=bool)
-        outs = _step(turbo, jnp.where(singleton & (l0 >= 0), l0, -1), cs, [tv] * A)
-        col = outs[take0 - 1]
+        col = jnp.where(singleton & (l0 >= 0), l0, -1)
+        col = _walk_rem(turbo, col, char_fn, take0)
         if rem2 > 0:
             col = jnp.where(col >= 0, WALK_CONT - col, -1)
         return jnp.where(singleton, col.astype(dt), dt(SLOW_SENTINEL))
@@ -1033,7 +1049,7 @@ def turbo_streaming_search(
     elif _debug_stages < 2:
         pass  # chain only (phase probes)
     else:
-        def pend_pass(a):
+        def pend_pass(a, w3_global=None):
             """Pend resolution: continue-walks (WALK_CONT) + non-singleton
             exact-LF (SLOW_SENTINEL), shared by both patch branches.
 
@@ -1042,20 +1058,35 @@ def turbo_streaming_search(
             compacted first and the block sweeps run over the compacted
             lane-chunk domain — sweeping the full [B*P] domain for a few
             hundred K pend positions paid several full-width liveness
-            packings (~0.3 s/batch at hit0, scratch/r5_probe1.log)."""
+            packings (~0.3 s/batch at hit0, scratch/r5_probe1.log).
+
+            w3_global (the miss branch's k<=32 side table accessor) lets
+            the resolvers fetch a position's window with one 8-byte row
+            gather instead of rebuilding pidx + packed windows per trip."""
             pend = jnp.any(a <= SLOW_SENTINEL, axis=1)
             pl_work, n_pl = compact_indices(pend)
             n_pl = _sync(n_pl)
-            Cp2 = min(1 << 19, B)
+            Cp2 = min(1 << 20, B)
 
             def pend_trip(i, a):
                 lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
                 safe = jnp.clip(lanes, 0, B - 1)
                 lane_ok = lanes[:, None] < B
-                rows = codes[safe].astype(jnp.int32)
                 arows = a[safe]
-                pidx, _ = _pidx_vwin(turbo, rows, P)
-                win3 = _win3_of(rows, pidx)
+                if w3_global is None:
+                    rows = codes[safe].astype(jnp.int32)
+                    pidx, _ = _pidx_vwin(turbo, rows, P)
+                    win3 = _win3_of(rows, pidx)
+
+                    def w3_of(fpc):
+                        return win3[fpc]
+
+                else:
+
+                    def w3_of(fpc):
+                        gfp = safe[fpc // P] * P + (fpc % P)
+                        return w3_global(gfp)
+
                 D2 = Cp2 * P
 
                 if rem2 > 0:
@@ -1070,7 +1101,7 @@ def turbo_streaming_search(
                     arows = _block_sweep(
                         arows.reshape(-1),
                         ((arows <= WALK_CONT) & lane_ok).reshape(-1),
-                        lambda fpc, aval: resolve_walk(win3[fpc], aval),
+                        lambda fpc, aval: resolve_walk(w3_of(fpc), aval),
                         D2,
                         wc_div=128,
                     ).reshape(Cp2, P)
@@ -1091,7 +1122,7 @@ def turbo_streaming_search(
                 arows = _block_sweep(
                     arows.reshape(-1),
                     ((arows == SLOW_SENTINEL) & lane_ok).reshape(-1),
-                    lambda fpc, aval: resolve_slow(win3[fpc], aval),
+                    lambda fpc, aval: resolve_slow(w3_of(fpc), aval),
                     D2,
                     wc_div=128,
                 ).reshape(Cp2, P)
@@ -1153,6 +1184,54 @@ def turbo_streaming_search(
             new = jnp.where(unresolved & ~alive, dt(-1), a)
             if _debug_stages < 3:
                 return new
+
+            # k <= 32: a position's whole window (p-mer index + rem walk
+            # chars = 2k bits) fits ONE 8-byte row, so a [B*P, 2] side
+            # table turns the resolver's THREE scalar word gathers
+            # (~26.5 ns at the fast-zone rate) into ONE row gather
+            # (~14 ns slow-zone) — hit0 sweep: 3364 -> 2941 ms
+            # (scratch/r5_probe5.log).  8 B/position caps the domain:
+            # past ~350M positions (~200M for the int64 engine, whose
+            # answer arrays already double) the table + its transients
+            # OOM a 16 GB chip, and the packed-words path below serves.
+            # (Round 4 rejected a 12-byte [., 3] variant as 3.6 GB; the
+            # 2-word form only exists for k <= 32.)
+            win2_cap = 200_000_000 if dt == jnp.int64 else 350_000_000
+            if 2 * k <= 64 and B * P <= win2_cap:
+                pwv = _pack_rem(rows, P, k, p)  # [B, P, 2] uint32
+                sp_ = np.uint32(2 * p)
+                inv_ = np.uint32(32) - sp_
+                w0f = pidx.astype(jnp.uint32) | (pwv[..., 0] << sp_)
+                w1f = (pwv[..., 0] >> inv_) | (pwv[..., 1] << sp_)
+                win2_f = lax.bitcast_convert_type(
+                    jnp.stack([w0f, w1f], axis=-1), jnp.int32
+                ).reshape(-1, 2)
+
+                def w3_at(fp):
+                    """(pidx, packed rem lo, hi) from ONE 8-byte row."""
+                    row2 = win2_f[fp]
+                    w0s = lax.bitcast_convert_type(row2[..., 0], jnp.uint32)
+                    w1s = lax.bitcast_convert_type(row2[..., 1], jnp.uint32)
+                    pidx_s = (w0s & np.uint32((1 << (2 * p)) - 1)).astype(
+                        jnp.int32
+                    )
+                    pw0 = (w0s >> sp_) | (w1s << inv_)
+                    pw1 = w1s >> sp_
+                    return jnp.stack(
+                        [pidx_s, lax.bitcast_convert_type(pw0, jnp.int32),
+                         lax.bitcast_convert_type(pw1, jnp.int32)], axis=-1
+                    )
+
+                new_flat = _block_sweep(
+                    new.reshape(-1),
+                    alive.reshape(-1),
+                    lambda fpc, aval: _resolve_seed(w3_at(fpc), aval),
+                    B * P,
+                )
+                new = new_flat.reshape(B, P)
+                if _debug_stages < 4:
+                    return new
+                return pend_pass(new, w3_global=w3_at)
 
             # packed 2-bit code words per lane.  A window ending at the
             # last position needs words up to (2L-1)//32 <= NWq-1, so no

@@ -35,7 +35,7 @@ def run(turbo, index, codes, lengths, stages):
     )
     return jnp.sum(out)
 
-for n_reads in (1 << 22, 1 << 23):
+for n_reads in (1 << 22,):
     P = read_len - k + 1
     n_q = n_reads * P
     lengths = jnp.asarray(np.full(n_reads, read_len, dtype=np.int32))

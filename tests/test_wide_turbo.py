@@ -41,7 +41,8 @@ _SCRIPT = textwrap.dedent(
                                  k=12, n_kmers=built.n_kmers, precalc_k=6)
     wt = build_turbo(wide, arity=1)  # wide indexes route to the pair-row tier
     assert isinstance(wt, WideTurboIndex)
-    assert wt.tbl.shape[1] == 8 and wt.tbl.dtype == jnp.int32
+    assert wt.tbl.shape[1] == 4 and wt.tbl.dtype == jnp.int32
+    assert wt.tbl_hi.shape == wt.tbl.shape  # split (lo, hi) row tables
 
     L = 80
     reads = np.full((48, L), -1, dtype=np.int8)
