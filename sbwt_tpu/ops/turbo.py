@@ -162,9 +162,28 @@ class WideTurboIndex:
     pos_dtype = jnp.int64
 
     def tbl_row(self, idx):
+        if self.n_nodes < 2**31:
+            # Any single-chip table physically has < 2^31 rows, so every
+            # successor's hi word is identically 0 (live) or -1 (dead) —
+            # the lo word alone decides, and the chain costs ONE 16-byte
+            # row gather like the narrow tier (the paired lo+hi double
+            # gather measured 51.7M rows/s vs 142M for one,
+            # scratch/r5_probe9.log).  s64 gather indices are fine
+            # (142.4 vs 152.9M rows/s) but the cast is free anyway.
+            return self.tbl[idx.astype(jnp.int32)]
+        # n >= 2^31 (only reachable through sharded views that rebase
+        # per-shard; kept for completeness): full (lo, hi) pair rows
         return self.tbl[idx], self.tbl_hi[idx]
 
     def succ_from_row(self, row, c, alive):
+        if self.n_nodes < 2**31:
+            rlo = row
+            lo01 = jnp.where(c == 0, rlo[..., 0], rlo[..., 1])
+            lo23 = jnp.where(c == 2, rlo[..., 2], rlo[..., 3])
+            # valid cols are non-negative int32; dead is exactly -1 —
+            # sign-extension reproduces the int64 value
+            s = jnp.where(c <= 1, lo01, lo23).astype(jnp.int64)
+            return jnp.where(alive, s, jnp.int64(-1))
         rlo, rhi = row
         lo01 = jnp.where(c == 0, rlo[..., 0], rlo[..., 1])
         hi01 = jnp.where(c == 0, rhi[..., 0], rhi[..., 1])

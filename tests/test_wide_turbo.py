@@ -92,3 +92,31 @@ def test_wide_turbo_matches_wide_lf_engine():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "OK" in proc.stdout
+
+
+def test_wide_pair_row_path_matches_lo_path():
+    """The n >= 2^31 (lo, hi) pair path is unreachable on one chip (the
+    table could not fit), so pin its semantics directly: with hi = 0/-1
+    it must agree with the single-chip lo-only fast path."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from sbwt_tpu.ops.turbo import WideTurboIndex
+
+    rng = np.random.default_rng(3)
+    n = 64
+    lo = rng.integers(-1, n, size=(n, 4)).astype(np.int32)
+    hi = np.where(lo < 0, -1, 0).astype(np.int32)
+    mk = lambda nn: WideTurboIndex(
+        tbl=jnp.asarray(lo), tbl_hi=jnp.asarray(hi),
+        precalc=jnp.zeros((1, 2), jnp.int64), C=jnp.zeros(4, jnp.int64),
+        n_nodes=nn, k=8, precalc_k=0,
+    )
+    small, big = mk(n), mk(2**31 + 5)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    for c in range(4):
+        cc = jnp.full((n,), c, jnp.int32)
+        alive = jnp.ones((n,), bool)
+        s_small = small.succ_from_row(small.tbl_row(idx), cc, alive)
+        s_big = big.succ_from_row(big.tbl_row(idx), cc, alive)
+        np.testing.assert_array_equal(np.asarray(s_small), np.asarray(s_big))
