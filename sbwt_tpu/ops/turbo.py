@@ -1085,7 +1085,10 @@ def turbo_streaming_search(
             pend = jnp.any(a <= SLOW_SENTINEL, axis=1)
             pl_work, n_pl = compact_indices(pend)
             n_pl = _sync(n_pl)
-            Cp2 = min(1 << 20, B)
+            # miss-heavy batches pool ~20% of all lanes here (one 1M-lane
+            # trip); hit/mid batches have far fewer and a 1M trip would
+            # pad the sweep domain 2x — size to the branch's regime
+            Cp2 = min(1 << 20 if w3_global is not None else 1 << 19, B)
 
             def pend_trip(i, a):
                 lanes = lax.dynamic_slice(pl_work, (i * Cp2,), (Cp2,))  # sentinel B
