@@ -345,6 +345,51 @@ class ConcatRank:
         start = self._select0(pos)
         return self.wt.rank(c + 1, start)
 
+    def _select0_pair(self, i):
+        """Positions of the (i+1)-th AND (i+2)-th zeros of L from ONE
+        sampled 64-bit window: sets hold <= 4 symbols, so zeros i..i+9
+        from the every-8th sample span <= 36 bits — both answers always
+        sit inside the window, and the second binary search is pure VPU
+        (no extra gathers)."""
+        s = self.samples[i >> 3]
+        rem = (i & 7).astype(jnp.int32)
+        row = self.l_words[s >> 5]
+        w0 = row[..., 0].astype(jnp.uint32)
+        w1 = row[..., 1].astype(jnp.uint32)
+        o = (s & 31).astype(jnp.uint32)
+        z0 = ~w0
+        z1 = ~w1
+        lo = (z0 >> o) | jnp.where(o > 0, z1 << (np.uint32(32) - o), np.uint32(0))
+        hi = jnp.where(o > 0, z1 >> o, np.uint32(0))
+        outs = []
+        cnt_lo = jax.lax.population_count(lo).astype(jnp.int32)
+        for extra in (1, 2):
+            target = rem + extra
+            use_hi = cnt_lo < target
+            word = jnp.where(use_hi, hi, lo)
+            t = jnp.where(use_hi, target - cnt_lo, target)
+            base = jnp.where(use_hi, 32, 0)
+            for shift in [16, 8, 4, 2, 1]:
+                mask = (_ONE32 << np.uint32(shift)) - _ONE32
+                low = word & mask
+                cc = jax.lax.population_count(low).astype(jnp.int32)
+                go_hi = cc < t
+                word = jnp.where(go_hi, word >> np.uint32(shift), low)
+                t = jnp.where(go_hi, t - cc, t)
+                base = base + jnp.where(go_hi, shift, 0)
+            outs.append(s + base)
+        return outs[0], outs[1]
+
+    def rank_pair(self, c, pos):
+        """(rank(c,pos), rank(c,pos+1)) — the LF extension pair.  Saves
+        the second select0's gathers (sample + window row); the two
+        wavelet ranks stay separate because consecutive set starts are
+        up to 4 symbols apart."""
+        c = jnp.asarray(c, dtype=jnp.int32)
+        pos = jnp.asarray(pos, dtype=jnp.int32)
+        s1, s2 = self._select0_pair(pos)
+        return self.wt.rank(c + 1, s1), self.wt.rank(c + 1, s2)
+
     def contains(self, c, pos):
         return self.rank(c, pos + 1) - self.rank(c, pos)
 

@@ -57,7 +57,7 @@ def _rand_bits(n, seed):
 @pytest.mark.parametrize(
     "variant",
     ["rrr-matrix", "mef-matrix", "plain-split", "rrr-split", "mef-split",
-     "plain-subsetwt", "rrr-subsetwt"],
+     "plain-concat", "mef-concat", "plain-subsetwt", "rrr-subsetwt"],
 )
 def test_struct_rank_pair(variant):
     from sbwt_tpu.models.subsetrank import build_struct
