@@ -151,7 +151,22 @@ def build_from_kmers(kmer_vals: np.ndarray, k: int, streaming_support: bool = Tr
 
     # --- sources and dummies ------------------------------------------
     preds = km.drop_last(kmer_vals)  # drop-last value, length k-1
-    has_pred = _isin_sorted(S, preds)
+    # colex order groups k-mers by LAST char (the top 2 bits), and
+    # within one group drop_last (<< 2) is monotone — preds is 4 sorted
+    # runs, so membership is 4 O(n+m) merges instead of n binary
+    # searches over S (the searchsorted path measured ~3.4 s of the
+    # 16 Mbp build)
+    has_pred = np.empty(n, dtype=bool)
+    edges = [0] + list(
+        np.searchsorted(kmer_vals, [_U64(c) << _U64(62) for c in (1, 2, 3)])
+    ) + [n]
+    for g in range(4):
+        lo, hi = int(edges[g]), int(edges[g + 1])
+        if hi > lo:
+            hit = native.merge_isin_u64(S, preds[lo:hi])
+            if hit is None:
+                hit = _isin_sorted(S, preds[lo:hi])
+            has_pred[lo:hi] = hit
     sources = kmer_vals[~has_pred]
     m = len(sources)
 

@@ -227,12 +227,18 @@ def em_sort_u64_file(in_path: str, out_path: str, tmp_dir: str,
 
 
 def em_dedup_count_u64_file(in_path: str, out_path: str,
-                            min_abund: int = 1, max_abund: int = 2**62) -> int:
+                            min_abund: int = 1, max_abund: int = 2**62,
+                            ram_bytes: int | None = None) -> int:
     """Adjacent dedup + abundance cutoffs over a SORTED u64 file (the
-    sort above always runs first), matching the C streamer's semantics."""
+    sort above always runs first), matching the C streamer's semantics.
+
+    The vectorized in-RAM path peaks at ~3x the file size, so it only
+    runs inside the caller's RAM budget (or a 256 MB default when no
+    budget is given); the C streamer serves the bounded-memory case."""
     lib = get_lib()
     size = os.path.getsize(in_path)
-    if lib is None or size <= (256 << 20):
+    threshold = (ram_bytes // 3) if ram_bytes is not None else (256 << 20)
+    if lib is None or size <= threshold:
         # in-RAM vectorized path: run-boundary scan of the sorted array
         # (np.unique would re-sort; the C streamer is adjacent-only too)
         arr = np.fromfile(in_path, dtype=np.uint64)
@@ -325,10 +331,12 @@ def write_varlen_records(path: str, recs: list[bytes]) -> None:
 
 
 def em_dedup_count_records_file(in_path: str, out_path: str, n_words: int,
-                                min_abund: int = 1, max_abund: int = 2**62) -> int:
+                                min_abund: int = 1, max_abund: int = 2**62,
+                                ram_bytes: int | None = None) -> int:
     """Dedup + abundance-filter a sorted record file (n_words uint64 each)."""
     if n_words == 1:
-        return em_dedup_count_u64_file(in_path, out_path, min_abund, max_abund)
+        return em_dedup_count_u64_file(in_path, out_path, min_abund, max_abund,
+                                       ram_bytes=ram_bytes)
     lib = get_lib()
     if lib is None:
         arr = np.fromfile(in_path, dtype=np.uint64).reshape(-1, n_words)
@@ -383,7 +391,8 @@ def em_sort_dedup_records_file(
                          ram_bytes=ram_bytes, n_threads=n_threads)
     try:
         return em_dedup_count_records_file(
-            sorted_f, out_path, n_words, min_abund=min_abund, max_abund=max_abund
+            sorted_f, out_path, n_words, min_abund=min_abund,
+            max_abund=max_abund, ram_bytes=ram_bytes,
         )
     finally:
         try:

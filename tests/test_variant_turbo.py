@@ -14,7 +14,7 @@ import pytest
 
 from sbwt_tpu.models.sbwt import SBWT
 from sbwt_tpu.ops.search import streaming_search_jit
-from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit
+from sbwt_tpu.ops.turbo import build_turbo, turbo_streaming_jit, turbo_streaming_search
 from sbwt_tpu.utils.dna import encode_query
 
 VARIANTS = ["rrr-matrix", "mef-matrix", "plain-split", "plain-concat", "plain-subsetwt"]
@@ -47,15 +47,37 @@ def data():
     return g, sbwt, codes, lengths, ref
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_after():
+    """The turbo streaming program inlines each variant's whole rank
+    machinery into its fallback branches — five of those on top of the
+    full suite's several hundred prior compiles aborted XLA's CPU
+    compiler (SIGABRT in backend_compile_and_load).  Static hints below
+    halve the per-variant program, and dropping the module's executables
+    afterwards keeps the process-cumulative compiler state bounded."""
+    import jax
+
+    yield
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("variant", VARIANTS)
 def test_variant_turbo_exact(data, variant):
+    from functools import partial
+    import jax
+
     _, sbwt, codes, lengths, ref = data
     var = sbwt.to_variant(variant)
     turbo = build_turbo(var.device_index, arity=2)
+    # auto (cond) program only for rrr; the others pin a hint — hints
+    # are exactness-invariant (tests/test_turbo_branches.py) and the
+    # hinted programs compile at half the size
+    hint = None if variant == "rrr-matrix" else ("mid" if "split" in variant else "hit")
+    fn = turbo_streaming_jit if hint is None else jax.jit(
+        partial(turbo_streaming_search, regime_hint=hint)
+    )
     got = np.asarray(
-        turbo_streaming_jit(
-            turbo, var.device_index, jnp.asarray(codes), jnp.asarray(lengths)
-        )
+        fn(turbo, var.device_index, jnp.asarray(codes), jnp.asarray(lengths))
     )
     np.testing.assert_array_equal(got, ref)
 
