@@ -482,6 +482,9 @@ def build_streaming(
     ]
 
     # ---- phase 1: edges + sources ------------------------------------
+    from concurrent.futures import ThreadPoolExecutor
+
+    probe_pool = ThreadPoolExecutor(max_workers=4) if n_threads > 1 else None
     main = _Reader(distinct_path, p, 0, n_records, chunk)
     prev_suffix = None
     with open(edges_path, "wb") as ef:
@@ -503,16 +506,28 @@ def build_streaming(
             edge_bytes = np.zeros(len(X), dtype=np.uint8)
             # the >>2 shift is char-independent: one pass for all 4 chars
             y_base = p.append_last_base(S_rep)
-            for c in range(4):
+
+            def _probe_c(c):
                 # scalar c: a full-length char array costs an extra 8x
                 # broadcast temp per block (both append_last variants
-                # accept scalars)
-                y = p.append_from_base(y_base, c)
-                found = cursors[c].probe(y)
+                # accept scalars).  The 4 probes run on a thread pool:
+                # each cursor owns its file region, and the big numpy
+                # ops + the native merge release the GIL (the
+                # reference's KMC stage is likewise multithreaded,
+                # run_kmc.cpp:655-721).
+                return c, cursors[c].probe(p.append_from_base(y_base, c))
+
+            if probe_pool is not None:
+                results = list(probe_pool.map(_probe_c, range(4)))
+            else:
+                results = [_probe_c(c) for c in range(4)]
+            for c, found in results:
                 edge_bytes[rep_pos[found]] |= np.uint8(1 << c)
             edge_bytes.tofile(ef)
             prev_suffix = S[-1]
     main.close()
+    if probe_pool is not None:
+        probe_pool.shutdown()
     for c in range(4):
         cursors[c].finalize()
     # the root node always exists (kmc_construct.hh:47-51)

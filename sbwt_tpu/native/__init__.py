@@ -381,6 +381,16 @@ def em_sort_dedup_records_file(
         change = np.empty(len(arr), dtype=bool)
         change[0] = True
         np.not_equal(arr[1:], arr[:-1], out=change[1:])
+        n_runs = int(change.sum())
+        if n_runs == len(arr):
+            # every record distinct (the common genomic-window case):
+            # all counts are 1, so skip the run-boundary materialization
+            # (flatnonzero + append + diff + fancy index ≈ 1 s at 16M)
+            if min_abund <= 1 <= max_abund:
+                _tofile_checked(arr, out_path)
+                return len(arr)
+            open(out_path, "wb").close()
+            return 0
         idx = np.flatnonzero(change)
         counts = np.diff(np.append(idx, len(arr)))
         keep = (counts >= min_abund) & (counts <= max_abund)
