@@ -16,8 +16,12 @@ from ..utils.dna import encode_query
 from ..utils.logging import write_log
 
 # Shape bucketing limits recompilation: batch dims are padded up to these.
+# The ceiling matters: dependent-gather throughput is latency-bound and
+# keeps climbing to millions of parallel lanes (docs/DESIGN.md §1), so
+# big query files are dispatched in up-to-1M-read device batches
+# (~128 MB of codes at 100 bp — HBM is the abundant resource).
 _LEN_QUANTUM = 32
-_BATCH_SIZES = [256, 1024, 4096, 16384, 65536]
+_BATCH_SIZES = [256, 1024, 4096, 16384, 65536, 262144, 1048576]
 
 
 def _pad_batch_size(n: int) -> int:

@@ -126,7 +126,10 @@ class NativeSequenceReader:
     encoding matches utils/dna.encode_query.
     """
 
-    def __init__(self, path: str, batch_bases: int = 1 << 24, batch_reads: int = 1 << 16):
+    def __init__(self, path: str, batch_bases: int = 1 << 27, batch_reads: int = 1 << 20):
+        # defaults sized so short-read files reach ~1M reads per device
+        # batch (gather throughput climbs to millions of lanes); the
+        # 128 MB code buffer bounds long-read batches instead
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
