@@ -147,3 +147,48 @@ def test_global_patch_long_kmers_chimeric(k, p):
             )
         )
         np.testing.assert_array_equal(got, ref, err_msg=f"hint={hint}")
+
+
+@pytest.mark.parametrize("arity", [1, 3])
+def test_nonsingleton_seed_dense_all_hints(arity):
+    """Adversarial mix for the slow-path machinery: a repeat-heavy corpus
+    (8 mutated copies of one base) with a SHORT precalc (p=4) makes most
+    live seeds non-singleton, so restarts flood the SLOW_SENTINEL pend
+    path instead of the singleton walk.  Every hint must stay exact on
+    chimeric + all-miss + genomic lanes."""
+    from functools import partial
+    import jax
+
+    from sbwt_tpu.ops.turbo import turbo_streaming_search
+
+    rng = np.random.default_rng(21)
+    base = rng.choice(list("ACGT"), size=1500)
+    parts = []
+    for i in range(8):
+        c = base.copy()
+        pos = rng.choice(len(base), size=15 * (i + 1), replace=False)
+        c[pos] = rng.choice(list("ACGT"), size=len(pos))
+        parts.append("".join(c))
+    sb = SBWT.build(parts, 14, precalc_k=4)
+    turbo = build_turbo(sb.device_index, arity=arity)
+    g = parts[0]
+    B, L = 1024, 40
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    enc = encode_query(g)
+    for i in range(0, B, 3):  # genomic
+        codes[i, :] = enc[(i * 11) % 1400 : (i * 11) % 1400 + L]
+    for i in range(1, B, 3):  # chimeric: restart must resolve real k-mers
+        cut = int(rng.integers(1, L - 14))
+        s = enc[(i * 7) % 1400 : (i * 7) % 1400 + (L - cut)]
+        codes[i, cut : cut + len(s)] = s
+    lengths = np.full(B, L, dtype=np.int32)
+    ref = np.asarray(
+        streaming_search_jit(sb.device_index, jnp.asarray(codes), jnp.asarray(lengths))
+    )
+    for hint in (None, "hit", "mid", "miss"):
+        got = np.asarray(
+            jax.jit(partial(turbo_streaming_search, regime_hint=hint))(
+                turbo, sb.device_index, jnp.asarray(codes), jnp.asarray(lengths)
+            )
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"arity={arity} hint={hint}")
