@@ -137,12 +137,15 @@ class WideTurboIndex:
     throughout and flat in n, SBWT.hh:44-46).
 
     Successor columns are int64 stored as TWO [n, 4] int32 row tables
-    (lo words and hi words), so the chain costs two 16-byte row gathers
-    per answer.  A single interleaved [n, 8] row (round 4's layout)
-    measured only 52.5M rows/s vs 153.3M for 16-byte rows
-    (scratch/r5_probe7.log) — 32-byte rows fall off the single-
-    transaction gather path, so the split pair is ~1.5x faster despite
-    issuing twice the gathers.  Still 32 B/column total: a 2^31-column
+    (lo words and hi words).  On a single chip (n < 2^31, always true
+    for an in-HBM table) every hi word is identically 0 (live) or -1
+    (dead), so the chain gathers ONLY the lo table — one 16-byte row
+    per answer at the narrow tier's rate; the hi table is touched only
+    by the n >= 2^31 pair path kept for sharded views.  The round-4
+    interleaved [n, 8] row measured 52.5M rows/s vs 153.3M for 16-byte
+    rows, and even a lo+hi double gather only 51.7M pairs/s
+    (scratch/r5_probe7/9.log) — 32-byte rows fall off the single-
+    transaction gather path.  Still 32 B/column total: a 2^31-column
     table needs 68.7 GB, so single-chip wide-turbo serves the sub-2^31
     range the wide engine can be forced onto, and past that the table
     must be row-sharded over a mesh (parallel/sharded.py; per-shard
