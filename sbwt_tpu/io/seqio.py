@@ -114,7 +114,14 @@ def stream_build_codes(paths: list[str]):
         try:
             from .. import native
 
-            reader = native.NativeSequenceReader(path) if native.available() else None
+            # bounded 16 MB batches: the reader's defaults are sized for
+            # the QUERY runner's million-read device dispatches; the
+            # build side must stay inside `-m` RAM-gigas-class budgets
+            reader = (
+                native.NativeSequenceReader(path, batch_bases=1 << 24)
+                if native.available()
+                else None
+            )
         except Exception:
             reader = None
         if reader is not None:
